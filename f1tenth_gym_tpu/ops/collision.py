@@ -1,0 +1,211 @@
+"""Batched collision geometry: body vertices, all-pairs overlap, agent ray-cast.
+
+Behavioral parity targets (reference Numba kernels):
+  * ``get_vertices`` / ``get_trmtx`` — collision_models.py:218-260
+  * ``collision`` (GJK) + ``collision_multiple`` — collision_models.py:113-212
+  * ``get_range`` / ``get_blocked_view_indices`` / ``ray_cast`` —
+    laser_models.py:249-346
+
+TPU-first design:
+  * the reference's iterative, branchy GJK simplex loop (collision_models.py:144-181)
+    is replaced by a branchless separating-axis test over all vertex-pair
+    axes. For convex hulls of point sets this is *exact* and, unlike
+    polygon-edge SAT, independent of vertex ordering — the same property GJK
+    gets from its support function. Equivalence is enforced by property
+    tests mirroring ``test_random_collision`` (collision_models.py:306-311).
+  * the O(A²) Python pair loop becomes one broadcast (..., A, A) tensor op;
+  * per-opponent ray casting becomes a (beams × edges) intersection grid with
+    the reference's blocked-FOV index window reproduced as a mask
+    (laser_models.py:282-315) so modified beams match exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f1tenth_gym_tpu.state import ScanTables
+
+
+def get_vertices(pose, length, width):
+    """Pose (..., 3) -> body corner vertices (..., 4, 2).
+
+    Corner order [rear-left, rear-right, front-right, front-left] matches
+    collision_models.py:251-259. Expressed as an einsum-able rotation rather
+    than the reference's 4x4 homogeneous matmul.
+    """
+    c = jnp.cos(pose[..., 2])
+    s = jnp.sin(pose[..., 2])
+    half_l = length / 2.0
+    half_w = width / 2.0
+    # body-frame corners (..., 4, 2) — broadcast against per-agent length/width
+    ones = jnp.ones_like(c)
+    bx = jnp.stack([-half_l * ones, -half_l * ones, half_l * ones, half_l * ones], axis=-1)
+    by = jnp.stack([half_w * ones, -half_w * ones, -half_w * ones, half_w * ones], axis=-1)
+    wx = pose[..., 0:1] + bx * c[..., None] - by * s[..., None]
+    wy = pose[..., 1:2] + bx * s[..., None] + by * c[..., None]
+    return jnp.stack([wx, wy], axis=-1)
+
+
+def _project_minmax(vertices, axes):
+    """Project point sets onto axes.
+
+    vertices: (..., V, 2); axes: (..., K, 2) -> (min, max) each (..., K).
+    """
+    # (..., K, V)
+    proj = jnp.einsum("...kd,...vd->...kv", axes, vertices)
+    return proj.min(axis=-1), proj.max(axis=-1)
+
+
+def collision_pairwise(vertices1, vertices2):
+    """Exact convex-hull overlap test for two 4-point bodies (GJK replacement).
+
+    vertices*: (..., 4, 2). Returns (...,) bool, True when the convex hulls
+    intersect — the same predicate the reference's GJK computes
+    (collision_models.py:113-182).
+
+    Separating axes are the perpendiculars of every vertex-pair direction of
+    both bodies (6 pairs per body -> 12 axes). Every hull edge direction is a
+    vertex-pair direction, so by the separating axis theorem the hulls are
+    disjoint iff some such axis separates the projections. Touching hulls
+    (zero gap) count as colliding, matching GJK's ``d.dot(a) <= 0`` exits.
+    """
+
+    def pair_axes(v):
+        # all 6 unordered vertex pairs of a 4-point body
+        ii, jj = np.triu_indices(4, k=1)
+        d = v[..., jj, :] - v[..., ii, :]  # (..., 6, 2)
+        # perpendicular
+        return jnp.stack([-d[..., 1], d[..., 0]], axis=-1)
+
+    axes = jnp.concatenate([pair_axes(vertices1), pair_axes(vertices2)], axis=-2)
+    # degenerate axes (duplicate points) project everything to 0 -> never separate
+    min1, max1 = _project_minmax(vertices1, axes)
+    min2, max2 = _project_minmax(vertices2, axes)
+    separated = (max1 < min2) | (max2 < min1)
+    return ~jnp.any(separated, axis=-1)
+
+
+def collision_multiple(vertices):
+    """All-pairs agent collision (collision_models.py:184-212), batched.
+
+    vertices: (..., A, 4, 2). Returns:
+      collisions    (..., A) float 0/1
+      collision_idx (..., A) float, partner index or -1
+
+    The reference's pair loop overwrites ``collision_idx[k]`` as it iterates
+    (i ascending, then j ascending), so the surviving value is the largest
+    colliding j > k if one exists, else the largest colliding i < k. We
+    reproduce that exactly with two masked max-reductions.
+    """
+    A = vertices.shape[-3]
+    v_i = vertices[..., :, None, :, :]  # (..., A, 1, 4, 2)
+    v_j = vertices[..., None, :, :, :]  # (..., 1, A, 4, 2)
+    colmat = collision_pairwise(
+        jnp.broadcast_to(v_i, vertices.shape[:-3] + (A, A, 4, 2)),
+        jnp.broadcast_to(v_j, vertices.shape[:-3] + (A, A, 4, 2)),
+    )
+    eye = jnp.eye(A, dtype=bool)
+    colmat = colmat & ~eye
+
+    idx = jnp.arange(A)
+    upper = colmat & (idx[None, :] > idx[:, None])  # j > k
+    lower = colmat & (idx[None, :] < idx[:, None])  # j < k
+    big_neg = jnp.full((A,), -1)
+    last_upper = jnp.max(jnp.where(upper, idx[None, :], big_neg), axis=-1)
+    last_lower = jnp.max(jnp.where(lower, idx[None, :], big_neg), axis=-1)
+    collision_idx = jnp.where(last_upper >= 0, last_upper, last_lower)
+
+    collisions = jnp.any(colmat, axis=-1)
+    dtype = vertices.dtype
+    return collisions.astype(dtype), collision_idx.astype(dtype)
+
+
+def _cross2(ax, ay, bx, by):
+    return ax * by - ay * bx
+
+
+def ray_cast_opponents(pose, scan, opp_vertices, tables: ScanTables):
+    """Shorten a scan by ray casting opponent rectangles into it.
+
+    pose: (3,) scanning vehicle pose; scan: (B,); opp_vertices: (O, 4, 2) for
+    O opponents. Returns the modified (B,) scan.
+
+    Replicates laser_models.py:318-346: for each opponent, beams inside the
+    blocked-FOV index window [min_ind, max_ind] (laser_models.py:282-315) are
+    clipped to the nearest ray/edge intersection distance
+    (``get_range``, laser_models.py:249-280).
+
+    Vectorized as a (O, B, 4-edge) intersection tensor + window mask; callers
+    vmap over agents and envs.
+    """
+    B = scan.shape[-1]
+    o = pose[0:2]
+    theta = pose[2]
+
+    # --- blocked view window per opponent (exact reference argmin semantics)
+    vecs = opp_vertices - o  # (O, 4, 2)
+    vert_angles = jnp.arctan2(vecs[..., 1], vecs[..., 0])  # (O, 4)
+    ego_angle = jnp.arctan2(jnp.sin(theta), jnp.cos(theta))
+    diff = ego_angle - vert_angles
+    diff = jnp.where(diff > np.pi, diff - 2 * np.pi, diff)
+    diff = jnp.where(diff < -np.pi, diff + 2 * np.pi, diff)
+    angles_with_x = -diff  # (O, 4)
+
+    # nearest beam index for each vertex angle
+    d_ang = jnp.abs(tables.scan_angles[None, None, :] - angles_with_x[..., None])
+    inds = jnp.argmin(d_ang, axis=-1)  # (O, 4)
+    min_ind = jnp.min(inds, axis=-1)  # (O,)
+    max_ind = jnp.max(inds, axis=-1)  # (O,)
+
+    beam_ids = jnp.arange(B)
+    in_window = (beam_ids[None, :] >= min_ind[:, None]) & (
+        beam_ids[None, :] <= max_ind[:, None]
+    )  # (O, B)
+
+    # --- ray/edge intersections (get_range semantics)
+    beam_theta = theta + tables.scan_angles  # (B,)
+    # v3 = unit vector perpendicular to the beam (reference uses theta + pi/2)
+    v3x = jnp.cos(beam_theta + np.pi / 2.0)  # (B,)
+    v3y = jnp.sin(beam_theta + np.pi / 2.0)
+
+    va = opp_vertices  # (O, 4, 2) edge starts
+    vb = jnp.roll(opp_vertices, shift=-1, axis=-2)  # (O, 4, 2) edge ends
+
+    v1x = o[0] - va[..., 0]  # (O, 4)
+    v1y = o[1] - va[..., 1]
+    v2x = vb[..., 0] - va[..., 0]
+    v2y = vb[..., 1] - va[..., 1]
+
+    # broadcast to (O, 4, B)
+    denom = v2x[..., None] * v3x + v2y[..., None] * v3y
+    # cross(v2, v1) = v2x*v1y - v2y*v1x (laser_models.py:219-230)
+    d1 = (v2x[..., None] * v1y[..., None] - v2y[..., None] * v1x[..., None]) / denom
+    d2 = (v1x[..., None] * v3x + v1y[..., None] * v3y) / denom
+
+    valid = (jnp.abs(denom) > 0.0) & (d1 >= 0.0) & (d2 >= 0.0) & (d2 <= 1.0)
+    inf = jnp.asarray(jnp.inf, dtype=scan.dtype)
+    dist = jnp.where(valid, d1, inf)  # (O, 4, B)
+
+    # collinear fallback (laser_models.py:275-278): denom == 0 and o,va,vb
+    # collinear -> distance = min(|va-o|, |vb-o|)
+    ba_x = vb[..., 0] - va[..., 0]
+    ba_y = vb[..., 1] - va[..., 1]
+    ca_x = va[..., 0] - o[0]
+    ca_y = va[..., 1] - o[1]
+    collinear = jnp.abs(_cross2(ba_x, ba_y, ca_x, ca_y)) < 1e-8  # (O, 4)
+    da = jnp.sqrt(v1x ** 2 + v1y ** 2)
+    db = jnp.sqrt((vb[..., 0] - o[0]) ** 2 + (vb[..., 1] - o[1]) ** 2)
+    col_dist = jnp.minimum(da, db)  # (O, 4)
+    dist = jnp.where(
+        (jnp.abs(denom) <= 0.0) & collinear[..., None],
+        col_dist[..., None],
+        dist,
+    )
+
+    # min over the 4 edges, masked by the per-opponent window, min over opponents
+    closest = jnp.min(dist, axis=-2)  # (O, B)
+    closest = jnp.where(in_window, closest, inf)
+    closest = jnp.min(closest, axis=0)  # (B,)
+    return jnp.minimum(scan, closest)

@@ -1,0 +1,73 @@
+"""Host-side map pipeline: ROS-style yaml + image -> device MapData.
+
+Mirrors ScanSimulator2D.set_map (laser_models.py:383-427): open image, flip
+top-bottom, binarize at 128, read resolution/origin from yaml, Euclidean
+distance transform scaled by resolution. All of this is one-time host
+preprocessing producing a single HBM-resident (H, W) raster + scalars.
+
+The EDT uses the native C++ kernel when built (utils/edt.py), else scipy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+from PIL import Image
+
+from f1tenth_gym_tpu.state import MapData
+from f1tenth_gym_tpu.utils.edt import euclidean_distance_transform
+
+
+def load_map_image(map_img_path: str) -> np.ndarray:
+    """Image file -> binarized float64 occupancy bitmap (0 obstacle, 255 free)."""
+    img = np.array(Image.open(map_img_path).transpose(Image.FLIP_TOP_BOTTOM))
+    img = img.astype(np.float64)
+    if img.ndim == 3:  # RGB(A) -> grayscale via first channel, matching PIL 'L' loads
+        img = img[..., 0]
+    bitmap = np.where(img <= 128.0, 0.0, 255.0)
+    return bitmap
+
+
+def load_map_yaml(map_path: str) -> Tuple[float, Tuple[float, float, float], str]:
+    with open(map_path, "r") as f:
+        meta = yaml.safe_load(f)
+    resolution = float(meta["resolution"])
+    origin = tuple(float(v) for v in meta["origin"])
+    image = meta.get("image", None)
+    return resolution, origin, image
+
+
+def make_map_data(
+    bitmap: np.ndarray,
+    resolution: float,
+    origin: Tuple[float, float, float],
+    dtype=jnp.float32,
+) -> MapData:
+    """Occupancy bitmap (0 = obstacle) + metadata -> device MapData."""
+    dt = resolution * euclidean_distance_transform(bitmap > 0)
+    return MapData(
+        dt=jnp.asarray(dt, dtype=dtype),
+        orig_x=jnp.asarray(origin[0], dtype=dtype),
+        orig_y=jnp.asarray(origin[1], dtype=dtype),
+        orig_c=jnp.asarray(np.cos(origin[2]), dtype=dtype),
+        orig_s=jnp.asarray(np.sin(origin[2]), dtype=dtype),
+        resolution=jnp.asarray(resolution, dtype=dtype),
+    )
+
+
+def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32) -> MapData:
+    """Load a ROS-style map yaml + image pair into device arrays.
+
+    map_path: path to the .yaml (with or without extension);
+    map_ext: image extension, e.g. '.png' or '.pgm'.
+    """
+    if not map_path.endswith(".yaml"):
+        map_path = map_path + ".yaml"
+    resolution, origin, _ = load_map_yaml(map_path)
+    map_img_path = os.path.splitext(map_path)[0] + map_ext
+    bitmap = load_map_image(map_img_path)
+    return make_map_data(bitmap, resolution, origin, dtype=dtype)
