@@ -1,0 +1,147 @@
+"""Headline benchmark: env-steps/s/chip for 2-agent, 1080-beam racing envs.
+
+Runs the flagship workload — E vectorized 2-agent envs with full lidar,
+auto-reset, random-start poses — as an on-device lax.scan and reports ONE
+JSON line:
+
+  {"metric": "env_steps_per_sec_per_chip", "value": N,
+   "unit": "env-steps/s", "vs_baseline": N / 500}
+
+Baseline 500 env-steps/s is the reference's implied single-core full-step
+rate (its >500 scans/s test floor with 2 scans/step bounds the 2-agent step
+rate at ~250-500/s; we credit it the generous end — BASELINE.md).
+
+Env knobs: BENCH_ENVS (default 4096), BENCH_STEPS (default 256),
+BENCH_BEAMS (1080), BENCH_MAP (path to yaml; default: reference example map
+when mounted, else synthetic ring).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+# Persistent compilation cache: the axon remote-compile path costs minutes
+# per program; the cache drops warm-process compiles to ~1s.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_FULL_STEP_RATE = 500.0  # env-steps/s, single CPU core (BASELINE.md)
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_ENVS", 4096))
+    num_steps = int(os.environ.get("BENCH_STEPS", 256))
+    num_beams = int(os.environ.get("BENCH_BEAMS", 1080))
+    map_path = os.environ.get("BENCH_MAP", "")
+
+    from f1tenth_gym_tpu import (
+        SimConfig,
+        VehicleParams,
+        load_map,
+        make_scan_tables,
+    )
+    from f1tenth_gym_tpu.parallel import (
+        batch_reset,
+        make_autoreset_step,
+        uniform_pose_sampler,
+    )
+    from f1tenth_gym_tpu.tracks.synthetic import ring_map_data, ring_start_poses
+
+    engine = os.environ.get("BENCH_ENGINE", "segments")
+    cfg = SimConfig(num_agents=2, num_beams=num_beams, dtype="float32",
+                    scan_engine=engine)
+    params = VehicleParams.create(dtype=jnp.float32)
+    tables = make_scan_tables(num_beams=num_beams, dtype=jnp.float32)
+
+    default_map = "/root/reference/examples/example_map.yaml"
+    if not map_path and os.path.exists(default_map):
+        map_path = default_map
+    if map_path:
+        map_data = load_map(map_path, ".png", dtype=jnp.float32,
+                            extract_segments=(engine == "segments"))
+        sampler = uniform_pose_sampler(map_data, clearance=0.6)
+        k = jax.random.PRNGKey(7)
+        poses = sampler(k, (num_envs, cfg.num_agents))
+    else:
+        radius = 8.0
+        map_data = ring_map_data(size=512, radius=radius, dtype=jnp.float32,
+                                 extract_segments=(engine == "segments"))
+        sampler = uniform_pose_sampler(map_data, clearance=0.6)
+        poses = jnp.asarray(
+            np.stack([ring_start_poses(2, radius)] * num_envs), dtype=jnp.float32
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
+    states, *_ = batch_reset(poses, keys, params, map_data, tables, cfg, 0.01)
+
+    astep = make_autoreset_step(
+        params, map_data, tables, cfg, 0.01, pose_sampler=sampler
+    )
+
+    def policy(key, obs):
+        # cheap wall-aware policy: steer toward the freer side, modest speed
+        scans = obs["scans"]
+        B = scans.shape[-1]
+        left = scans[..., : B // 2].mean(-1)
+        right = scans[..., B // 2 :].mean(-1)
+        steer = jnp.clip(0.25 * (right - left) / 30.0, -0.4, 0.4)
+        speed = jnp.full_like(steer, 3.0)
+        return jnp.stack([steer, speed], axis=-1)
+
+    # one jitted program: autoreset step + policy fused. A python loop over
+    # it (rather than a big lax.scan) keeps compile time bounded on the
+    # remote-compile path; dispatch overhead is negligible at these sizes.
+    @jax.jit
+    def fused_step(s, k):
+        k, sub = jax.random.split(k)
+        obs = {
+            "scans": s.scans,
+            "poses_x": s.x[..., 0],
+            "poses_y": s.x[..., 1],
+            "poses_theta": s.x[..., 4],
+        }
+        actions = policy(sub, obs)
+        s, _, reward, done, _ = astep(s, actions)
+        return s, k, jnp.sum(done)
+
+    # warmup / compile (forced readback: block_until_ready can return early
+    # on tunneled backends, so fence with a host transfer)
+    t0 = time.time()
+    s, k, d = fused_step(states, jax.random.PRNGKey(1))
+    _ = float(jnp.sum(s.x))
+    compile_time = time.time() - t0
+
+    # timed
+    t0 = time.time()
+    for _ in range(num_steps):
+        s, k, d = fused_step(s, k)
+    _ = float(jnp.sum(s.x))  # fence
+    elapsed = time.time() - t0
+    dones = int(d)
+
+    steps_per_sec = num_envs * num_steps / elapsed
+    result = {
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_sec / REFERENCE_FULL_STEP_RATE, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# envs={num_envs} steps={num_steps} beams={num_beams} engine={engine} "
+        f"device={jax.devices()[0].device_kind} elapsed={elapsed:.3f}s "
+        f"compile={compile_time:.1f}s dones={dones}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

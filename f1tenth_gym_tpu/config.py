@@ -46,6 +46,11 @@ class SimConfig:
     # covers resolution >= 0.03 at max_range 30. The kernel also early-exits
     # via lax.while_loop when every beam has converged.
     max_march_iters: int = 1024
+    # LiDAR engine: "march" = distance-field sphere marching, bit-compatible
+    # with the reference (gather-bound on TPU); "segments" = ray/polygon
+    # intersection against extracted wall segments (gather-free, runs at VPU
+    # compute speed; accuracy within the contour-simplification tolerance).
+    scan_engine: str = "march"
     # Whether scans get additive Gaussian noise (reference: laser_models.py:450-452).
     scan_noise: bool = True
     # Reference quirk: every RaceCar's rng is seeded with the same seed

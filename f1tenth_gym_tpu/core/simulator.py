@@ -137,10 +137,22 @@ def sim_step(
         ],
         axis=-1,
     )  # (A, 3)
-    scans = lidar_ops.get_scan(
-        scan_pose, map_data, tables, cfg.num_beams, cfg.theta_dis,
-        max_iters=cfg.max_march_iters,
-    )  # (A, B)
+    if cfg.scan_engine == "segments":
+        if map_data.segments is None:
+            raise ValueError(
+                "scan_engine='segments' needs MapData.segments — load the map "
+                "with extract_segments=True"
+            )
+        from f1tenth_gym_tpu.ops.segments import get_scan_segments
+
+        scans = get_scan_segments(
+            scan_pose, map_data.segments, tables, cfg.num_beams, cfg.theta_dis
+        )  # (A, B)
+    else:
+        scans = lidar_ops.get_scan(
+            scan_pose, map_data, tables, cfg.num_beams, cfg.theta_dis,
+            max_iters=cfg.max_march_iters,
+        )  # (A, B)
 
     key = state.key
     if cfg.scan_noise:

@@ -1,0 +1,30 @@
+from f1tenth_gym_tpu.parallel.vector import (
+    batch_reset,
+    batch_step,
+    make_autoreset_step,
+    uniform_pose_sampler,
+)
+from f1tenth_gym_tpu.parallel.sharding import (
+    ENV_AXIS,
+    MODEL_AXIS,
+    env_batch_sharding,
+    make_mesh,
+    replicate,
+    shard_states,
+)
+from f1tenth_gym_tpu.parallel.rollout import Transition, rollout
+
+__all__ = [
+    "batch_reset",
+    "batch_step",
+    "make_autoreset_step",
+    "uniform_pose_sampler",
+    "make_mesh",
+    "env_batch_sharding",
+    "shard_states",
+    "replicate",
+    "ENV_AXIS",
+    "MODEL_AXIS",
+    "rollout",
+    "Transition",
+]

@@ -85,7 +85,9 @@ class VehicleParams:
         for k, v in params.items():
             cur = getattr(self, k)
             if agent_idx < 0:
-                updates[k] = jnp.asarray(v, dtype=cur.dtype)
+                updates[k] = jnp.broadcast_to(
+                    jnp.asarray(v, dtype=cur.dtype), cur.shape
+                )
             else:
                 if cur.ndim == 0:
                     raise ValueError(
@@ -110,6 +112,9 @@ class MapData:
     orig_c: jnp.ndarray      # cos(origin theta)
     orig_s: jnp.ndarray      # sin(origin theta)
     resolution: jnp.ndarray  # scalar, m/cell
+    # (K, 4) wall segments for the gather-free segment scan engine
+    # (ops/segments.py); None when only the marching engine is used
+    segments: Optional[jnp.ndarray] = None
 
     @property
     def height(self) -> int:

@@ -25,9 +25,21 @@ def _load_native():
         return _LIB
     _LIB_TRIED = True
     here = os.path.dirname(os.path.abspath(__file__))
-    candidates = [
-        os.path.join(here, "..", "native", "libf1tenth_native.so"),
-    ]
+    native_dir = os.path.join(here, "..", "native")
+    so_path = os.path.join(native_dir, "libf1tenth_native.so")
+    if not os.path.exists(so_path):
+        # build on first use; quiet failure falls back to scipy
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so_path,
+                 os.path.join(native_dir, "edt.cpp")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            pass
+    candidates = [so_path]
     for path in candidates:
         if os.path.exists(path):
             try:

@@ -46,9 +46,22 @@ def make_map_data(
     resolution: float,
     origin: Tuple[float, float, float],
     dtype=jnp.float32,
+    extract_segments: bool = False,
+    simplify_tol_cells: float = 0.5,
 ) -> MapData:
-    """Occupancy bitmap (0 = obstacle) + metadata -> device MapData."""
+    """Occupancy bitmap (0 = obstacle) + metadata -> device MapData.
+
+    extract_segments=True also traces the wall contours into (K, 4) line
+    segments for the gather-free segment scan engine (ops/segments.py).
+    """
     dt = resolution * euclidean_distance_transform(bitmap > 0)
+    segments = None
+    if extract_segments:
+        from f1tenth_gym_tpu.ops.segments import segments_from_map
+
+        segments = segments_from_map(
+            bitmap, resolution, origin, simplify_tol_cells, dtype=dtype
+        )
     return MapData(
         dt=jnp.asarray(dt, dtype=dtype),
         orig_x=jnp.asarray(origin[0], dtype=dtype),
@@ -56,10 +69,12 @@ def make_map_data(
         orig_c=jnp.asarray(np.cos(origin[2]), dtype=dtype),
         orig_s=jnp.asarray(np.sin(origin[2]), dtype=dtype),
         resolution=jnp.asarray(resolution, dtype=dtype),
+        segments=segments,
     )
 
 
-def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32) -> MapData:
+def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
+             extract_segments: bool = False) -> MapData:
     """Load a ROS-style map yaml + image pair into device arrays.
 
     map_path: path to the .yaml (with or without extension);
@@ -70,4 +85,5 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32) -> MapData
     resolution, origin, _ = load_map_yaml(map_path)
     map_img_path = os.path.splitext(map_path)[0] + map_ext
     bitmap = load_map_image(map_img_path)
-    return make_map_data(bitmap, resolution, origin, dtype=dtype)
+    return make_map_data(bitmap, resolution, origin, dtype=dtype,
+                         extract_segments=extract_segments)

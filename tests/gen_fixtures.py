@@ -66,14 +66,17 @@ def install_shims():
     sys.modules["gym.envs"] = envs_mod
     sys.modules["gym.envs.registration"] = reg_mod
 
-    # ---- pyglet: f110_env.py does `import pyglet; from pyglet import gl`
+    # ---- pyglet: f110_env.py does `import pyglet; from pyglet import gl`;
+    # waypoint_follow.py does `from pyglet.gl import GL_POINTS`
     pyglet = types.ModuleType("pyglet")
     pyglet.options = {}
     pyglet.gl = types.ModuleType("pyglet.gl")
+    pyglet.gl.GL_POINTS = 0
     sys.modules["pyglet"] = pyglet
     sys.modules["pyglet.gl"] = pyglet.gl
 
     sys.path.insert(0, REF)
+    sys.path.insert(0, "/root/reference/examples")
 
 
 class ZeroRng:
@@ -294,6 +297,93 @@ def gen_env_rollout(f110_env_mod, base_classes):
               f"final x={obs['poses_x']}, collisions={obs['collisions']}, done={done}")
 
 
+def gen_planner(f110_env_mod, base_classes):
+    """Pure-pursuit kernel goldens + a full closed-loop lap on example_map."""
+    import waypoint_follow as wf
+
+    wpts_raw = np.loadtxt("/root/reference/examples/example_waypoints.csv",
+                          delimiter=";", skiprows=3)
+    wpts = wpts_raw[:, [1, 2]].copy()
+    wpts_xyv = wpts_raw[:, [1, 2, 5]].copy()
+
+    # kernel goldens: nearest point + circle intersection at random poses
+    rng = np.random.default_rng(21)
+    K = 128
+    # half the points hug the raceline (circle hits), half roam far (misses)
+    near = wpts[rng.integers(0, len(wpts), K // 2)] + rng.uniform(
+        -0.5, 0.5, size=(K // 2, 2)
+    )
+    far = wpts[rng.integers(0, len(wpts), K - K // 2)] + rng.uniform(
+        -10, 10, size=(K - K // 2, 2)
+    )
+    pts = np.concatenate([near, far])
+    nearest = np.empty((K, 6))  # proj(2), dist, t, i, _
+    for k in range(K):
+        p, d, t, i = wf.nearest_point_on_trajectory(pts[k], wpts)
+        nearest[k] = [p[0], p[1], d, t, i, 0]
+    inter = np.empty((K, 5))  # p(2), i2, t2, found
+    for k in range(K):
+        p0, d, t, i = wf.nearest_point_on_trajectory(pts[k], wpts)
+        p, i2, t2 = wf.first_point_on_trajectory_intersecting_circle(
+            pts[k], 0.82461887897713965, wpts, i + t, wrap=True
+        )
+        if p is None:
+            inter[k] = [0, 0, -1, 0, 0]
+        else:
+            inter[k] = [p[0], p[1], i2, t2, 1]
+    np.savez(os.path.join(OUT, "planner_kernels.npz"),
+             pts=pts, wpts=wpts, nearest=nearest, inter=inter)
+    print("planner_kernels.npz:", K, "cases; found:", int(inter[:, 4].sum()))
+
+    # closed loop: reference planner + reference env, noise-free, 500 steps
+    class Conf:
+        wpt_path = "/root/reference/examples/example_waypoints.csv"
+        wpt_delim = ";"
+        wpt_rowskip = 3
+        wpt_xind = 1
+        wpt_yind = 2
+        wpt_vind = 5
+
+    planner = wf.PurePursuitPlanner(Conf(), 0.17145 + 0.15875)
+    env = f110_env_mod.F110Env(
+        map="/root/reference/examples/example_map", map_ext=".png",
+        num_agents=1, timestep=0.01,
+        integrator=base_classes.Integrator.RK4, seed=12345,
+    )
+    poses = np.array([[0.7, 0.0, 1.37079632679]])
+    obs, *_ = env.reset(poses)
+    env.sim.reset(poses)
+    for agent in env.sim.agents:
+        agent.scan_rng = ZeroRng()
+    env.current_time = 0.0
+    env.collisions = np.zeros((1,))
+    env.near_starts = np.array([True])
+    env.toggle_list = np.zeros((1,))
+    obs, _, done, _ = env.step(np.zeros((1, 2)))
+
+    T = 500
+    tlad, vgain = 0.82461887897713965, 1.375
+    rec_actions = np.empty((T, 2))
+    rec_poses = np.empty((T, 3))
+    rec_speed = np.empty((T,))
+    for ti in range(T):
+        speed, steer = planner.plan(obs["poses_x"][0], obs["poses_y"][0],
+                                    obs["poses_theta"][0], tlad, vgain)
+        rec_actions[ti] = [steer, speed]
+        obs, _, done, _ = env.step(np.array([[steer, speed]]))
+        rec_poses[ti] = [obs["poses_x"][0], obs["poses_y"][0],
+                         obs["poses_theta"][0]]
+        rec_speed[ti] = obs["linear_vels_x"][0]
+        if done:
+            break
+    np.savez(os.path.join(OUT, "closed_loop.npz"),
+             wpts_xyv=wpts_xyv, start=poses, actions=rec_actions[: ti + 1],
+             poses=rec_poses[: ti + 1], speed=rec_speed[: ti + 1],
+             tlad=tlad, vgain=vgain, done_at=(ti if done else -1))
+    print(f"closed_loop.npz: {ti+1} steps, done={done}, "
+          f"final pose {rec_poses[ti]}")
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     install_shims()
@@ -307,6 +397,7 @@ def main():
     gen_collision(cm)
     gen_scans(lm)
     gen_env_rollout(f110_env_mod, base_classes)
+    gen_planner(f110_env_mod, base_classes)
     print("all fixtures written to", OUT)
 
 

@@ -1,0 +1,100 @@
+"""Pure-pursuit planner parity + closed-loop trajectory parity."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from f1tenth_gym_tpu import SimConfig, VehicleParams, env_reset, env_step, load_map, make_scan_tables
+from f1tenth_gym_tpu.planning import (
+    first_point_on_trajectory_intersecting_circle,
+    nearest_point_on_trajectory,
+    pure_pursuit_plan,
+)
+
+FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _fix(name):
+    path = os.path.join(FIX, name)
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} missing — run tests/gen_fixtures.py")
+    return np.load(path)
+
+
+def test_nearest_point_parity():
+    d = _fix("planner_kernels.npz")
+    wpts = jnp.asarray(d["wpts"])
+    for k in range(d["pts"].shape[0]):
+        p, dist, t, i = nearest_point_on_trajectory(jnp.asarray(d["pts"][k]), wpts)
+        gp = d["nearest"][k]
+        np.testing.assert_allclose(np.asarray(p), gp[0:2], atol=1e-9)
+        assert abs(float(dist) - gp[2]) < 1e-9
+        assert abs(float(t) - gp[3]) < 1e-9
+        assert int(i) == int(gp[4])
+
+
+def test_circle_intersection_parity():
+    d = _fix("planner_kernels.npz")
+    wpts = jnp.asarray(d["wpts"])
+    lad = 0.82461887897713965
+    for k in range(d["pts"].shape[0]):
+        pt = jnp.asarray(d["pts"][k])
+        _, _, t, i = nearest_point_on_trajectory(pt, wpts)
+        p, i2, t2, found = first_point_on_trajectory_intersecting_circle(
+            pt, lad, wpts, jnp.asarray(float(i) + float(t))
+        )
+        gi = d["inter"][k]
+        assert bool(found) == bool(gi[4]), f"case {k}: found mismatch"
+        if gi[4]:
+            np.testing.assert_allclose(np.asarray(p), gi[0:2], atol=1e-9,
+                                       err_msg=f"case {k}")
+            assert int(i2) == int(gi[2]) % wpts.shape[0], f"case {k}"
+            assert abs(float(t2) - gi[3]) < 1e-9, f"case {k}"
+
+
+def test_closed_loop_parity():
+    """Pure pursuit + env reproduces the reference's 500-step driven lap
+    segment on example_map (BASELINE configs 1-2)."""
+    d = _fix("closed_loop.npz")
+    if not os.path.exists("/root/reference/examples/example_map.yaml"):
+        pytest.skip("reference example map not available")
+
+    cfg = SimConfig(num_agents=1, scan_noise=False, dtype="float64")
+    params = VehicleParams.create(dtype=jnp.float64)
+    tables = make_scan_tables(dtype=jnp.float64)
+    m = load_map("/root/reference/examples/example_map.yaml", ".png",
+                 dtype=jnp.float64)
+
+    wpts = jnp.asarray(d["wpts_xyv"])
+    tlad, vgain = float(d["tlad"]), float(d["vgain"])
+    wheelbase = 0.17145 + 0.15875
+
+    state, obs, *_ = env_reset(
+        jnp.asarray(d["start"]), jax.random.PRNGKey(12345), params, m,
+        tables, cfg, 0.01,
+    )
+    step = jax.jit(lambda s, a: env_step(s, a, params, m, tables, cfg, 0.01))
+    plan = jax.jit(
+        lambda x, y, th: pure_pursuit_plan(x, y, th, wpts, tlad, vgain,
+                                           wheelbase)
+    )
+
+    T = d["poses"].shape[0]
+    for t in range(T):
+        speed, steer = plan(obs["poses_x"][0], obs["poses_y"][0],
+                            obs["poses_theta"][0])
+        np.testing.assert_allclose(
+            np.array([float(steer), float(speed)]), d["actions"][t],
+            atol=1e-6, err_msg=f"step {t} action",
+        )
+        state, obs, reward, done, info = step(
+            state, jnp.array([[steer, speed]])
+        )
+        np.testing.assert_allclose(
+            np.array([float(obs["poses_x"][0]), float(obs["poses_y"][0]),
+                      float(obs["poses_theta"][0])]),
+            d["poses"][t], atol=1e-6, err_msg=f"step {t} pose",
+        )
