@@ -55,7 +55,7 @@ def main():
     )
     from f1tenth_gym_tpu.tracks.synthetic import ring_map_data, ring_start_poses
 
-    engine = os.environ.get("BENCH_ENGINE", "segments")
+    engine = os.environ.get("BENCH_ENGINE", "pallas")
     cfg = SimConfig(num_agents=2, num_beams=num_beams, dtype="float32",
                     scan_engine=engine)
     params = VehicleParams.create(dtype=jnp.float32)
@@ -66,14 +66,14 @@ def main():
         map_path = default_map
     if map_path:
         map_data = load_map(map_path, ".png", dtype=jnp.float32,
-                            extract_segments=(engine == "segments"))
+                            extract_segments=(engine in ("segments", "pallas")))
         sampler = uniform_pose_sampler(map_data, clearance=0.6)
         k = jax.random.PRNGKey(7)
         poses = sampler(k, (num_envs, cfg.num_agents))
     else:
         radius = 8.0
         map_data = ring_map_data(size=512, radius=radius, dtype=jnp.float32,
-                                 extract_segments=(engine == "segments"))
+                                 extract_segments=(engine in ("segments", "pallas")))
         sampler = uniform_pose_sampler(map_data, clearance=0.6)
         poses = jnp.asarray(
             np.stack([ring_start_poses(2, radius)] * num_envs), dtype=jnp.float32

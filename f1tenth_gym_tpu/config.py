@@ -47,9 +47,10 @@ class SimConfig:
     # via lax.while_loop when every beam has converged.
     max_march_iters: int = 1024
     # LiDAR engine: "march" = distance-field sphere marching, bit-compatible
-    # with the reference (gather-bound on TPU); "segments" = ray/polygon
-    # intersection against extracted wall segments (gather-free, runs at VPU
-    # compute speed; accuracy within the contour-simplification tolerance).
+    # with the reference (gather-bound on TPU); "segments" = XLA ray/polygon
+    # intersection against extracted wall segments; "pallas" = hand-written
+    # Mosaic kernel for the same ray/polygon math (fastest; accuracy within
+    # the contour-simplification tolerance, see ops/pallas_scan.py).
     scan_engine: str = "march"
     # Whether scans get additive Gaussian noise (reference: laser_models.py:450-452).
     scan_noise: bool = True

@@ -137,7 +137,19 @@ def sim_step(
         ],
         axis=-1,
     )  # (A, 3)
-    if cfg.scan_engine == "segments":
+    if cfg.scan_engine == "pallas":
+        if map_data.seg_table is None:
+            raise ValueError(
+                "scan_engine='pallas' needs MapData.seg_table — load the map "
+                "with extract_segments=True"
+            )
+        from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas_vmappable
+
+        scans = scan_pallas_vmappable(
+            scan_pose, map_data.seg_table, tables, cfg.num_beams,
+            cfg.theta_dis, interpret=(jax.default_backend() != "tpu"),
+        )  # (A, B)
+    elif cfg.scan_engine == "segments":
         if map_data.segments is None:
             raise ValueError(
                 "scan_engine='segments' needs MapData.segments — load the map "

@@ -25,6 +25,11 @@ from f1tenth_gym_tpu.ops.collision import (
     get_vertices,
     ray_cast_opponents,
 )
+from f1tenth_gym_tpu.ops.pallas_scan import (
+    build_seg_table,
+    scan_pallas,
+    scan_pallas_vmappable,
+)
 
 __all__ = [
     "accl_constraints",
@@ -45,4 +50,7 @@ __all__ = [
     "collision_pairwise",
     "collision_multiple",
     "ray_cast_opponents",
+    "build_seg_table",
+    "scan_pallas",
+    "scan_pallas_vmappable",
 ]

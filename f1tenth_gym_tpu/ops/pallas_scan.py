@@ -1,0 +1,233 @@
+"""Pallas TPU LiDAR kernel: batched ray/segment casting at VPU compute speed.
+
+This is the flagship scan engine. It computes the same ray/segment
+intersections as ops/segments.py (reference semantics: the 1080-beam sweep
+of laser_models.py:148-186 against polygonal walls, using the identical
+theta-LUT beam discretization of laser_models.py:164-184) as a
+hand-scheduled Mosaic kernel.
+
+Kernel design (each choice measured on TPU v5e):
+
+* one grid program computes EA=8 (env,agent) scans: per-program fixed costs
+  (block DMA issue, accumulator setup) dominated at 1 scan/program;
+* beams live in LANES (R rows x 128), segments in SUBLANES (groups of 8):
+  every op is a full (8, 128) vreg. The transposed orientation puts
+  (K,1)->(K,128) lane-broadcasts on the critical path, which Mosaic lowers
+  ~8x slower;
+* an MXU formulation (den/num/ud/uo as one (K,8)@(8,512) dot) is numerically
+  unusable at bf16 (catastrophic cancellation in c - nx*ox - ny*oy gives
+  ~1% range errors) and 3x slower at Precision.HIGHEST; the pure-VPU form
+  is exact f32 and faster;
+* beam directions use VPU trig of the theta-LUT *bin index* instead of
+  gathering the LUT: XLA TPU gathers run at ~0.18G lookups/s and were 65%
+  of total step time. cos(i * 2pi/(theta_dis-1)) equals the f64-built LUT
+  entry to f32 ulp;
+* per-segment scalars are splat once per 8-segment group and amortized over
+  all R beam rows and EA scans.
+
+Wall-segment counts are kept small at the source: contour simplification at
+1 map-cell tolerance collapses rasterization stair-steps (2621 -> 259
+segments on the reference example map) at *equal* accuracy vs the
+distance-field marching engine (MSE 0.20 vs 0.28 against marched scans,
+both far inside the reference's own MSE < 2.0 cross-engine tolerance,
+unittest/scan_sim.py:342). Per-(tile,sector) culling tables (a ~4x further
+cut measured on dense maps) are deliberately NOT used at these K; revisit
+for city-scale maps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f1tenth_gym_tpu.state import ScanTables
+
+TWO_PI = 2.0 * np.pi
+LANES = 128
+EA = 8          # (env, agent) scans per grid program
+GROUP = 8       # segments per group (one sublane tile)
+
+
+def build_seg_table(segments: np.ndarray) -> np.ndarray:
+    """(K, 4) [ax, ay, bx, by] -> (Kp, 8) f32 kernel table, built in f64.
+
+    Rows: [nx, ny, c, txn, tyn, -w0n, 0, 0] with n the UNIT normal (so
+    num = c - n.o is a signed distance in meters: well-conditioned in f32)
+    and the tangent scaled by 1/|e|^2 so the along-segment hit parameter w
+    lies in [0, 1] (compared against constants; no per-segment bounds).
+    Padding / degenerate rows get -w0n = 10 so w can never fall in [0, 1].
+    """
+    segs = np.asarray(segments, np.float64)
+    ax, ay, bx, by = segs.T
+    ex, ey = bx - ax, by - ay
+    len2 = ex * ex + ey * ey
+    ok = (len2 > 0) & (segs[:, 0] < 1e6)   # drop far-away padding rows
+    len2 = np.where(ok, len2, 1.0)
+    ln = np.sqrt(len2)
+    nx, ny = -ey / ln, ex / ln
+    c = nx * ax + ny * ay
+    txn, tyn = ex / len2, ey / len2
+    w0n = (ax * ex + ay * ey) / len2
+    out = np.stack([nx, ny, c, txn, tyn, -w0n,
+                    np.zeros_like(c), np.zeros_like(c)], 1)
+    out[~ok] = 0.0
+    out[~ok, 5] = 10.0
+    k = len(out)
+    kp = ((k + GROUP - 1) // GROUP) * GROUP
+    if kp > k:
+        pad = np.zeros((kp - k, 8))
+        pad[:, 5] = 10.0
+        out = np.concatenate([out, pad], 0)
+    return out.astype(np.float32)
+
+
+def _scan_kernel(R, n_groups, orig_ref, dirs_ref, seg_ref, out_ref, acc):
+    """One program: EA scans of R*128 beams against all segment groups.
+
+    orig_ref (1,EA,2) f32 SMEM; dirs_ref (EA,2,R,128) f32 VMEM;
+    seg_ref (K,8) f32 VMEM (constant block, DMA'd once);
+    out (EA,R,128) f32; acc scratch (EA*R*8, 128) f32.
+    """
+    from jax.experimental import pallas as pl
+
+    inf = jnp.float32(1e9)
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+
+    acc[:, :] = jnp.full((EA * R * GROUP, LANES), inf, jnp.float32)
+
+    def gbody(g, _):
+        tb = seg_ref[pl.ds(g * GROUP, GROUP), :]            # (8,8)
+        nx = jnp.broadcast_to(tb[:, 0:1], (GROUP, LANES))
+        ny = jnp.broadcast_to(tb[:, 1:2], (GROUP, LANES))
+        tx = jnp.broadcast_to(tb[:, 3:4], (GROUP, LANES))
+        ty = jnp.broadcast_to(tb[:, 4:5], (GROUP, LANES))
+        for ea in range(EA):
+            ox = orig_ref[0, ea, 0]
+            oy = orig_ref[0, ea, 1]
+            num8 = tb[:, 2:3] - ox * tb[:, 0:1] - oy * tb[:, 1:2]
+            uo8 = ox * tb[:, 3:4] + oy * tb[:, 4:5] + tb[:, 5:6]
+            num = jnp.broadcast_to(num8, (GROUP, LANES))
+            uo = jnp.broadcast_to(uo8, (GROUP, LANES))
+            for r in range(R):
+                dx = jnp.broadcast_to(dirs_ref[ea, 0, r:r + 1, :],
+                                      (GROUP, LANES))
+                dy = jnp.broadcast_to(dirs_ref[ea, 1, r:r + 1, :],
+                                      (GROUP, LANES))
+                den = nx * dx + ny * dy
+                ud = tx * dx + ty * dy
+                t = num * pl.reciprocal(den, approx=False)
+                w = uo + t * ud
+                valid = (t >= zero) & (w >= zero) & (w <= one)
+                t = jnp.where(valid, t, inf)
+                a0 = (ea * R + r) * GROUP
+                acc[a0:a0 + GROUP, :] = jnp.minimum(acc[a0:a0 + GROUP, :], t)
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, gbody, 0)
+
+    for ea in range(EA):
+        for r in range(R):
+            a0 = (ea * R + r) * GROUP
+            # max-range clamp happens outside the kernel (traced value)
+            out_ref[ea, r:r + 1, :] = jnp.min(
+                acc[a0:a0 + GROUP, :], axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_beams", "theta_dis", "interpret"))
+def scan_pallas(
+    pose: jnp.ndarray,            # (..., 3)
+    seg_table: jnp.ndarray,       # (K, 8) from build_seg_table
+    tables: ScanTables,
+    num_beams: int,
+    theta_dis: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched LiDAR scan -> (..., num_beams) ranges.
+
+    Drop-in replacement for ops.segments.get_scan_segments. Any batch shape;
+    the batch is flattened, padded to a multiple of EA, and fed to the grid.
+    Set interpret=True on CPU (tests).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch_shape = pose.shape[:-1]
+    p = pose.reshape(-1, 3).astype(jnp.float32)
+    n = p.shape[0]
+    n_pad = ((n + EA - 1) // EA) * EA
+    if n_pad > n:
+        p = jnp.concatenate([p, jnp.tile(p[-1:], (n_pad - n, 1))], axis=0)
+
+    R = (num_beams + LANES - 1) // LANES
+    fov = tables.fov.astype(jnp.float32)
+    angle_inc = fov / (num_beams - 1)
+
+    # theta-LUT bin indices (exact reference discretization,
+    # laser_models.py:164-184), then direct trig — no gathers.
+    theta = p[:, 2]
+    ti0 = theta_dis * (theta - fov / 2.0) / jnp.float32(TWO_PI)
+    ti0 = jnp.mod(jnp.mod(ti0, theta_dis) + theta_dis, theta_dis)
+    i = jnp.arange(num_beams, dtype=jnp.float32)
+    inc = jnp.float32(theta_dis) * angle_inc / jnp.float32(TWO_PI)
+    idx = jnp.mod(ti0[:, None] + i[None, :] * inc, theta_dis).astype(jnp.int32)
+    ang = idx.astype(jnp.float32) * jnp.float32(TWO_PI / (theta_dis - 1))
+    pad = ((0, 0), (0, R * LANES - num_beams))
+    dirs = jnp.stack(
+        [jnp.pad(jnp.cos(ang), pad).reshape(n_pad, R, LANES),
+         jnp.pad(jnp.sin(ang), pad).reshape(n_pad, R, LANES)],
+        axis=1,
+    )
+
+    K = seg_table.shape[0]
+    n_groups = K // GROUP
+    grid = (n_pad // EA,)
+    kern = functools.partial(_scan_kernel, R, n_groups)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, EA, 2), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((EA, 2, R, LANES), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 8), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((EA, R, LANES), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, R, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((EA * R * GROUP, LANES), jnp.float32)],
+        interpret=interpret,
+    )(p[:, :2].reshape(grid[0], EA, 2), dirs, seg_table)
+
+    out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
+    out = jnp.minimum(out, tables.max_range.astype(jnp.float32))
+    return out.reshape(*batch_shape, num_beams).astype(pose.dtype)
+
+
+def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
+                          interpret=False):
+    """scan_pallas that collapses under jax.vmap into ONE pallas call.
+
+    jax's default pallas batching rule adds a grid dimension per vmap level,
+    which at (A=2)-sized inner batches pads every program to EA=8 scans (4x
+    wasted compute) and explodes the program count. The custom_vmap rule
+    instead folds every batch axis into the kernel's own flat batch.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def fn(p):
+        return scan_pallas(p, seg_table, tables, num_beams, theta_dis,
+                           interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, p):  # noqa: ANN001
+        return fn(p), True
+
+    return fn(pose)

@@ -115,6 +115,9 @@ class MapData:
     # (K, 4) wall segments for the gather-free segment scan engine
     # (ops/segments.py); None when only the marching engine is used
     segments: Optional[jnp.ndarray] = None
+    # (K, 8) precomputed kernel table for the Pallas scan engine
+    # (ops/pallas_scan.py); built alongside `segments`
+    seg_table: Optional[jnp.ndarray] = None
 
     @property
     def height(self) -> int:

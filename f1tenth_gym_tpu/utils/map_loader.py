@@ -47,21 +47,27 @@ def make_map_data(
     origin: Tuple[float, float, float],
     dtype=jnp.float32,
     extract_segments: bool = False,
-    simplify_tol_cells: float = 0.5,
+    simplify_tol_cells: float = 1.0,
 ) -> MapData:
     """Occupancy bitmap (0 = obstacle) + metadata -> device MapData.
 
     extract_segments=True also traces the wall contours into (K, 4) line
-    segments for the gather-free segment scan engine (ops/segments.py).
+    segments for the segment/Pallas scan engines. The default 1-cell
+    simplification tolerance collapses rasterization stair-steps (10x fewer
+    segments on the reference example map) at equal accuracy vs the marching
+    engine (measured MSE 0.20 vs 0.28 against marched scans).
     """
     dt = resolution * euclidean_distance_transform(bitmap > 0)
     segments = None
+    seg_table = None
     if extract_segments:
+        from f1tenth_gym_tpu.ops.pallas_scan import build_seg_table
         from f1tenth_gym_tpu.ops.segments import segments_from_map
 
         segments = segments_from_map(
             bitmap, resolution, origin, simplify_tol_cells, dtype=dtype
         )
+        seg_table = jnp.asarray(build_seg_table(np.asarray(segments)))
     return MapData(
         dt=jnp.asarray(dt, dtype=dtype),
         orig_x=jnp.asarray(origin[0], dtype=dtype),
@@ -70,11 +76,13 @@ def make_map_data(
         orig_s=jnp.asarray(np.sin(origin[2]), dtype=dtype),
         resolution=jnp.asarray(resolution, dtype=dtype),
         segments=segments,
+        seg_table=seg_table,
     )
 
 
 def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
-             extract_segments: bool = False) -> MapData:
+             extract_segments: bool = False,
+             simplify_tol_cells: float = 1.0) -> MapData:
     """Load a ROS-style map yaml + image pair into device arrays.
 
     map_path: path to the .yaml (with or without extension);
@@ -86,4 +94,5 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
     map_img_path = os.path.splitext(map_path)[0] + map_ext
     bitmap = load_map_image(map_img_path)
     return make_map_data(bitmap, resolution, origin, dtype=dtype,
-                         extract_segments=extract_segments)
+                         extract_segments=extract_segments,
+                         simplify_tol_cells=simplify_tol_cells)
