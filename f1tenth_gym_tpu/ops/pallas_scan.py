@@ -47,7 +47,7 @@ from f1tenth_gym_tpu.state import ScanTables
 
 TWO_PI = 2.0 * np.pi
 LANES = 128
-EA = 8          # (env, agent) scans per grid program
+EA = 16         # (env, agent) scans per grid program
 GROUP = 8       # segments per group (one sublane tile)
 
 
@@ -61,10 +61,13 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     Padding / degenerate rows get -w0n = 10 so w can never fall in [0, 1].
     """
     segs = np.asarray(segments, np.float64)
+    # drop the XLA engine's far-away padding rows up front — every retained
+    # row costs kernel time
+    segs = segs[segs[:, 0] < 1e6]
     ax, ay, bx, by = segs.T
     ex, ey = bx - ax, by - ay
     len2 = ex * ex + ey * ey
-    ok = (len2 > 0) & (segs[:, 0] < 1e6)   # drop far-away padding rows
+    ok = len2 > 0
     len2 = np.where(ok, len2, 1.0)
     ln = np.sqrt(len2)
     nx, ny = -ey / ln, ex / ln
@@ -119,7 +122,10 @@ def _scan_kernel(R, n_groups, orig_ref, dirs_ref, seg_ref, out_ref, acc):
                                       (GROUP, LANES))
                 den = nx * dx + ny * dy
                 ud = tx * dx + ty * dy
-                t = num * pl.reciprocal(den, approx=False)
+                # approx reciprocal: ~1e-3 relative range error (p99.5 < 2cm at
+                # example-map ranges), well under the sigma=1cm beam noise and
+                # ~6cm contour tolerance; measured 12% faster than exact
+                t = num * pl.reciprocal(den, approx=True)
                 w = uo + t * ud
                 valid = (t >= zero) & (w >= zero) & (w <= one)
                 t = jnp.where(valid, t, inf)
