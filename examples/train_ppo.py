@@ -1,0 +1,66 @@
+"""Train a PPO driving policy on a bundled track, fully on-device.
+
+The reference has no training code; this is the TPU-native equivalent of
+"spawn many gym processes and train": E envs step in lockstep inside the
+jitted train step, sharded over whatever devices are visible.
+
+    python examples/train_ppo.py --envs 1024 --iters 50
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f1tenth_gym_tpu import SimConfig, VehicleParams, load_map, make_scan_tables
+from f1tenth_gym_tpu.maps import map_path
+from f1tenth_gym_tpu.parallel import batch_reset, make_mesh, replicate, shard_states
+from f1tenth_gym_tpu.parallel.ppo import PPO, PPOConfig
+from f1tenth_gym_tpu.parallel.vector import uniform_pose_sampler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--map", default="compact")
+    ap.add_argument("--envs", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--beams", type=int, default=1080)
+    ap.add_argument("--engine", default="pallas")
+    args = ap.parse_args()
+
+    cfg = SimConfig(num_agents=1, num_beams=args.beams, dtype="float32",
+                    scan_engine=args.engine)
+    params = VehicleParams.create(dtype=jnp.float32)
+    tables = make_scan_tables(num_beams=args.beams, dtype=jnp.float32)
+    m = load_map(map_path(args.map), ".png", dtype=jnp.float32,
+                 extract_segments=(args.engine in ("segments", "pallas")))
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(num_env_shards=n_dev, num_model_shards=1)
+    sampler = uniform_pose_sampler(m, clearance=0.8)
+    poses = sampler(jax.random.PRNGKey(1), (args.envs, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), args.envs)
+    states, *_ = batch_reset(poses, keys, params, m, tables, cfg, 0.01)
+    states = shard_states(states, mesh)
+
+    ppo = PPO(replicate(params, mesh), replicate(m, mesh),
+              replicate(tables, mesh), cfg, 0.01,
+              PPOConfig(rollout_steps=32, obs_beams=64), mesh=mesh)
+    ts = ppo.init(states, jax.random.PRNGKey(2))
+    train_step = jax.jit(ppo.train_step)
+
+    steps_per_iter = args.envs * ppo.pc.rollout_steps
+    for it in range(args.iters):
+        t0 = time.time()
+        ts, metrics = train_step(ts)
+        loss = float(metrics["loss"])
+        dt = time.time() - t0
+        print(f"iter {it:4d}  loss {loss:9.4f}  "
+              f"reward {float(metrics['mean_reward']):8.4f}  "
+              f"{steps_per_iter/dt:,.0f} env-steps/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

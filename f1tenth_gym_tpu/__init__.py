@@ -19,6 +19,8 @@ from f1tenth_gym_tpu.config import (
 from f1tenth_gym_tpu.state import MapData, ScanTables, SimState, VehicleParams
 from f1tenth_gym_tpu.core import env_reset, env_step, init_state, make_env_fns, sim_step
 from f1tenth_gym_tpu.ops.lidar import make_scan_tables
+from f1tenth_gym_tpu.scan_sim import ScanSimulator2D
+from f1tenth_gym_tpu.utils.checkpoint import load_pytree, save_pytree
 from f1tenth_gym_tpu.utils.map_loader import load_map, make_map_data
 
 __all__ = [
@@ -39,6 +41,9 @@ __all__ = [
     "init_state",
     "make_env_fns",
     "make_scan_tables",
+    "ScanSimulator2D",
     "load_map",
     "make_map_data",
+    "save_pytree",
+    "load_pytree",
 ]

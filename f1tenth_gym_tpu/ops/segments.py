@@ -28,6 +28,56 @@ from f1tenth_gym_tpu.state import MapData, ScanTables
 from f1tenth_gym_tpu.ops.lidar import beam_theta_indices
 
 
+def _extract_segments_native(
+    bitmap: np.ndarray,
+    resolution: float,
+    origin: Tuple[float, float, float],
+    simplify_tol_cells: float,
+) -> Optional[np.ndarray]:
+    """Native C++ boundary tracer (native/contour.cpp): exact raster
+    boundary (grid-corner vertices), no dilation needed. Returns None when
+    the library is unavailable."""
+    import ctypes
+
+    from f1tenth_gym_tpu.utils.native import load as _load_native
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "extract_wall_segments"):
+        return None
+    wall = np.ascontiguousarray((bitmap <= 0).astype(np.uint8))
+    h, w = wall.shape
+    max_segs = 4 * (h + w) + 65536
+    out = np.empty((max_segs, 4), np.float64)
+    n = lib.extract_wall_segments(
+        wall.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(h), ctypes.c_int(w),
+        ctypes.c_double(simplify_tol_cells),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int(max_segs),
+    )
+    if n < 0:
+        max_segs = -n + 4096
+        out = np.empty((max_segs, 4), np.float64)
+        n = lib.extract_wall_segments(
+            wall.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int(h), ctypes.c_int(w),
+            ctypes.c_double(simplify_tol_cells),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int(max_segs),
+        )
+    if n <= 0:
+        return None
+    segs = out[:n]
+    # grid-corner pixel coords -> map frame -> world frame (corners need no
+    # half-cell offset, unlike the cv2 center-trace path)
+    cx = segs[:, [0, 2]] * resolution
+    cy = segs[:, [1, 3]] * resolution
+    c, s = np.cos(origin[2]), np.sin(origin[2])
+    wx = cx * c - cy * s + origin[0]
+    wy = cx * s + cy * c + origin[1]
+    return np.stack([wx[:, 0], wy[:, 0], wx[:, 1], wy[:, 1]], axis=1)
+
+
 def extract_wall_segments(
     bitmap: np.ndarray,
     resolution: float,
@@ -37,12 +87,37 @@ def extract_wall_segments(
 ) -> np.ndarray:
     """Occupancy bitmap (0 = wall) -> (K, 4) world-frame wall segments.
 
-    Contours of the wall region are traced at pixel resolution and
-    simplified with Douglas-Peucker (tolerance in cells; 0.5 keeps geometry
-    within half a cell of the raster). Returns [ax, ay, bx, by] rows; padded
-    rows (if pad_to > K) are degenerate far-away segments that never
+    Prefers the native C++ tracer (exact raster boundary); falls back to
+    cv2 center-line contours + 1-px dilation. Simplified with
+    Douglas-Peucker (tolerance in cells). Returns [ax, ay, bx, by] rows;
+    padded rows (if pad_to > K) are degenerate far-away segments that never
     intersect a ray inside the map.
     """
+    native = _extract_segments_native(bitmap, resolution, origin,
+                                      simplify_tol_cells)
+    if native is not None:
+        return _pad_segments(native, pad_to)
+    return _extract_segments_cv2(bitmap, resolution, origin,
+                                 simplify_tol_cells, pad_to)
+
+
+def _pad_segments(out: np.ndarray, pad_to: Optional[int]) -> np.ndarray:
+    if pad_to is not None:
+        if len(out) > pad_to:
+            raise ValueError(f"{len(out)} segments exceed pad_to={pad_to}")
+        pad = np.tile(np.array([[1e7, 1e7, 1e7 + 1.0, 1e7]]),
+                      (pad_to - len(out), 1))
+        out = np.concatenate([out, pad], axis=0)
+    return out
+
+
+def _extract_segments_cv2(
+    bitmap: np.ndarray,
+    resolution: float,
+    origin: Tuple[float, float, float],
+    simplify_tol_cells: float = 0.5,
+    pad_to: Optional[int] = None,
+) -> np.ndarray:
     import cv2
 
     wall = (bitmap <= 0).astype(np.uint8)

@@ -1,3 +1,4 @@
+from f1tenth_gym_tpu.planning.adversarial import FlippyPlanner, flippy_action
 from f1tenth_gym_tpu.planning.pure_pursuit import (
     PurePursuitPlanner,
     first_point_on_trajectory_intersecting_circle,
@@ -12,4 +13,6 @@ __all__ = [
     "nearest_point_on_trajectory",
     "first_point_on_trajectory_intersecting_circle",
     "get_actuation",
+    "FlippyPlanner",
+    "flippy_action",
 ]

@@ -47,15 +47,16 @@ def make_map_data(
     origin: Tuple[float, float, float],
     dtype=jnp.float32,
     extract_segments: bool = False,
-    simplify_tol_cells: float = 1.0,
+    simplify_tol_cells: float = 1.5,
 ) -> MapData:
     """Occupancy bitmap (0 = obstacle) + metadata -> device MapData.
 
     extract_segments=True also traces the wall contours into (K, 4) line
-    segments for the segment/Pallas scan engines. The default 1-cell
-    simplification tolerance collapses rasterization stair-steps (10x fewer
-    segments on the reference example map) at equal accuracy vs the marching
-    engine (measured MSE 0.20 vs 0.28 against marched scans).
+    segments for the segment/Pallas scan engines (native C++ exact-boundary
+    tracer when built, else cv2). The default 1.5-cell simplification
+    tolerance collapses rasterization stair-steps (2621 -> 218 segments on
+    the reference example map) at BETTER accuracy than the old cv2 path
+    (measured MSE 0.057 vs 0.20 against marched scans).
     """
     dt = resolution * euclidean_distance_transform(bitmap > 0)
     segments = None
@@ -82,7 +83,7 @@ def make_map_data(
 
 def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
              extract_segments: bool = False,
-             simplify_tol_cells: float = 1.0) -> MapData:
+             simplify_tol_cells: float = 1.5) -> MapData:
     """Load a ROS-style map yaml + image pair into device arrays.
 
     map_path: path to the .yaml (with or without extension);

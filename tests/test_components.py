@@ -1,0 +1,217 @@
+"""Component tests: ScanSimulator2D, bundled maps, checkpointing, RNG
+determinism, collision property tests, throughput floors.
+
+These mirror the reference's embedded test strategy (SURVEY.md §4):
+- RNG determinism   ~ ScanTests.test_rng (laser_models.py:554-580)
+- collision property ~ CollisionTests.test_random_collision
+  (collision_models.py:306-311)
+- throughput floors  ~ the in-test FPS assertions (laser_models.py:534-552)
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from f1tenth_gym_tpu import (
+    ScanSimulator2D,
+    SimConfig,
+    VehicleParams,
+    load_map,
+    load_pytree,
+    make_scan_tables,
+    save_pytree,
+)
+from f1tenth_gym_tpu.maps import available_maps, centerline_path, map_path
+from f1tenth_gym_tpu.ops.collision import collision_pairwise, get_vertices
+from f1tenth_gym_tpu.utils.waypoints import load_waypoints
+
+
+# --------------------------------------------------------------------------
+# bundled maps
+# --------------------------------------------------------------------------
+
+
+def test_bundled_maps_exist():
+    names = available_maps()
+    assert len(names) >= 4
+    for n in names:
+        assert os.path.exists(map_path(n))
+
+
+@pytest.mark.parametrize("name", ["compact", "twisty"])
+def test_bundled_map_loads_and_scans(name):
+    m = load_map(map_path(name), ".png", dtype=jnp.float64,
+                 extract_segments=True)
+    assert m.dt.ndim == 2 and float(m.dt.max()) > 1.0
+    # centerline points sit in free space with ~half-track clearance
+    wpts = load_waypoints(centerline_path(name))  # (N, 3) [x, y, v]
+    assert wpts.shape[0] > 100
+    sim = ScanSimulator2D(num_beams=108, engine="march", dtype=jnp.float64)
+    sim.map_data = m
+    sim._scan_fn = jax.jit(sim._scan_batch_impl)
+    mid = wpts[len(wpts) // 2]
+    scan = sim.scan(np.array([mid[0], mid[1], 0.0]))
+    assert scan.shape == (108,)
+    # on a ~3m-wide track the nearest wall is within ~2m
+    assert 0.1 < scan.min() < 2.5
+
+
+# --------------------------------------------------------------------------
+# ScanSimulator2D (C9 parity surface)
+# --------------------------------------------------------------------------
+
+
+def test_scan_simulator_2d_api(example_map_path):
+    sim = ScanSimulator2D(num_beams=108, engine="march", dtype=jnp.float64)
+    assert sim.set_map(example_map_path, ".png")
+    pose = np.array([0.0, 0.0, 0.0])
+    s0 = sim.scan(pose)
+    assert s0.shape == (108,) and (s0 > 0).all() and (s0 <= 30.0 + 1e-6).all()
+    assert abs(sim.get_increment() - 4.7 / 107) < 1e-12
+    # noise: same seed -> identical, different draws -> different
+    a = sim.scan(pose, np.random.default_rng(42))
+    b = sim.scan(pose, np.random.default_rng(42))
+    np.testing.assert_array_equal(a, b)
+    rng = np.random.default_rng(42)
+    c, d = sim.scan(pose, rng), sim.scan(pose, rng)
+    assert not np.array_equal(c, d)
+    # batched path agrees with single path
+    batch = np.asarray(sim.scan_batch(np.stack([pose, pose + 0.1])))
+    np.testing.assert_allclose(batch[0], s0, atol=1e-9)
+
+
+def test_scan_simulator_engines_agree(example_map_path):
+    march = ScanSimulator2D(num_beams=108, engine="march", dtype=jnp.float64)
+    march.set_map(example_map_path, ".png")
+    seg = ScanSimulator2D(num_beams=108, engine="segments", dtype=jnp.float64)
+    seg.set_map(example_map_path, ".png")
+    poses = np.array([[0.0, 0.0, 0.3], [1.0, -1.0, 2.0], [-2.0, 3.0, 4.4]])
+    a = np.asarray(march.scan_batch(poses))
+    b = np.asarray(seg.scan_batch(poses))
+    err = np.abs(a - b)
+    # polygon-vs-raster tolerance, far inside the reference's own
+    # MSE < 2.0 cross-engine bar (unittest/scan_sim.py:342)
+    assert np.mean(err ** 2) < 0.5
+    assert np.median(err) < 0.1
+
+
+# --------------------------------------------------------------------------
+# env-level RNG determinism (~ ScanTests.test_rng)
+# --------------------------------------------------------------------------
+
+
+def test_env_scan_noise_determinism(ring_env):
+    reset, step, poses = ring_env
+    actions = jnp.zeros((2, 2), dtype=jnp.float64) + jnp.asarray([0.0, 2.0])
+    s1, o1, *_ = reset(poses, jax.random.PRNGKey(99))
+    s2, o2, *_ = reset(poses, jax.random.PRNGKey(99))
+    seq1, seq2 = [], []
+    for _ in range(4):
+        s1, o1, *_ = step(s1, actions)
+        s2, o2, *_ = step(s2, actions)
+        seq1.append(np.asarray(o1["scans"]))
+        seq2.append(np.asarray(o2["scans"]))
+    np.testing.assert_array_equal(np.stack(seq1), np.stack(seq2))
+    # different seed -> different noise
+    s3, o3, *_ = reset(poses, jax.random.PRNGKey(100))
+    s3, o3, *_ = step(s3, actions)
+    assert not np.array_equal(seq1[0], np.asarray(o3["scans"]))
+
+
+@pytest.fixture(scope="module")
+def ring_env():
+    from f1tenth_gym_tpu import make_env_fns
+    from f1tenth_gym_tpu.tracks.synthetic import ring_map_data, ring_start_poses
+
+    m = ring_map_data(size=256, radius=4.0, dtype=jnp.float64)
+    params = VehicleParams.create(dtype=jnp.float64)
+    tables = make_scan_tables(num_beams=108, dtype=jnp.float64)
+    cfg = SimConfig(num_agents=2, num_beams=108, dtype="float64")
+    reset, step = make_env_fns(params, m, tables, cfg, 0.01)
+    poses = jnp.asarray(ring_start_poses(2, 4.0))
+    return reset, step, poses
+
+
+# --------------------------------------------------------------------------
+# collision property test (~ test_random_collision, 1000 perturbed bodies)
+# --------------------------------------------------------------------------
+
+
+def test_random_collision_property():
+    rng = np.random.default_rng(0)
+    length, width = 0.32, 0.22
+    # overlapping: two rectangles jittered around the same pose by < width/2
+    base = rng.uniform(-5, 5, size=(1000, 3))
+    j1 = base + rng.uniform(-0.05, 0.05, size=(1000, 3))
+    j2 = base + rng.uniform(-0.05, 0.05, size=(1000, 3))
+    v1 = get_vertices(jnp.asarray(j1), length, width)
+    v2 = get_vertices(jnp.asarray(j2), length, width)
+    hits = jax.vmap(collision_pairwise)(v1, v2)
+    assert bool(jnp.all(hits)), f"{int((~hits).sum())} overlapping pairs missed"
+    # separated: same poses translated by > diag
+    far = base.copy()
+    far[:, 0] += 2.0
+    v3 = get_vertices(jnp.asarray(far), length, width)
+    miss = jax.vmap(collision_pairwise)(v1, v3)
+    assert not bool(jnp.any(miss)), f"{int(miss.sum())} separated pairs hit"
+
+
+# --------------------------------------------------------------------------
+# checkpoint / resume
+# --------------------------------------------------------------------------
+
+
+def test_checkpoint_roundtrip_simstate(ring_env, tmp_path):
+    reset, step, poses = ring_env
+    s, o, *_ = reset(poses, jax.random.PRNGKey(3))
+    for _ in range(3):
+        s, o, *_ = step(s, jnp.asarray([[0.1, 2.0], [0.0, 1.0]], jnp.float64))
+    path = save_pytree(str(tmp_path / "ckpt"), s)
+    s2 = load_pytree(path)
+    # resumed rollout is bit-identical to the uninterrupted one
+    a = jnp.asarray([[0.05, 2.0], [0.0, 1.5]], jnp.float64)
+    s_cont, o_cont, *_ = step(s, a)
+    s_res, o_res, *_ = step(s2, a)
+    np.testing.assert_array_equal(np.asarray(o_cont["scans"]),
+                                  np.asarray(o_res["scans"]))
+    np.testing.assert_array_equal(np.asarray(s_cont.x), np.asarray(s_res.x))
+
+
+# --------------------------------------------------------------------------
+# throughput floors (CPU; generous floors — catch order-of-magnitude
+# regressions, not noise. The reference enforces >500 scans/s single-core.)
+# --------------------------------------------------------------------------
+
+
+def test_throughput_floor_batched_step(ring_env):
+    import time
+
+    from f1tenth_gym_tpu.parallel import batch_reset, batch_step
+    from f1tenth_gym_tpu.tracks.synthetic import ring_map_data, ring_start_poses
+
+    m = ring_map_data(size=256, radius=4.0, dtype=jnp.float32,
+                      extract_segments=True)
+    params = VehicleParams.create(dtype=jnp.float32)
+    tables = make_scan_tables(num_beams=108, dtype=jnp.float32)
+    cfg = SimConfig(num_agents=2, num_beams=108, dtype="float32",
+                    scan_engine="segments")
+    E = 64
+    poses = jnp.asarray(np.stack([ring_start_poses(2, 4.0)] * E), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), E)
+    states, *_ = batch_reset(poses, keys, params, m, tables, cfg, 0.01)
+    actions = jnp.zeros((E, 2, 2), jnp.float32)
+    step = jax.jit(lambda s, a: batch_step(s, a, params, m, tables, cfg, 0.01))
+    s, *_ = step(states, actions)
+    jax.block_until_ready(s.x)
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        s, *_ = step(s, actions)
+    jax.block_until_ready(s.x)
+    rate = E * n / (time.perf_counter() - t0)
+    # even on CPU the batched engine must beat the reference's single-core
+    # full-step rate
+    assert rate > 500.0, f"batched step rate {rate:.0f} env-steps/s"
