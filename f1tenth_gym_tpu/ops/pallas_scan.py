@@ -25,14 +25,22 @@ Kernel design (each choice measured on TPU v5e):
 * per-segment scalars are splat once per 8-segment group and amortized over
   all R beam rows and EA scans.
 
-Wall-segment counts are kept small at the source: contour simplification at
-1 map-cell tolerance collapses rasterization stair-steps (2621 -> 259
-segments on the reference example map) at *equal* accuracy vs the
-distance-field marching engine (MSE 0.20 vs 0.28 against marched scans,
-both far inside the reference's own MSE < 2.0 cross-engine tolerance,
-unittest/scan_sim.py:342). Per-(tile,sector) culling tables (a ~4x further
-cut measured on dense maps) are deliberately NOT used at these K; revisit
-for city-scale maps.
+Wall-segment counts are kept small at the source: the native exact-boundary
+contour tracer at 1.5-cell tolerance collapses rasterization stair-steps
+(2621 -> 218 segments on the reference example map) at 3.5x BETTER accuracy
+than cv2 center-line tracing (MSE 0.057 vs 0.20 against marched scans; the
+reference's own cross-engine tolerance is MSE < 2.0, unittest/scan_sim.py:342).
+
+Culling variants were built, measured, and deliberately rejected (berlin /
+example maps, v5e): (a) per-(tile,sector) segment-list loops — exact, but
+11x SLOWER: per-row processing forfeits the splat/fetch amortization over
+all 144 (scan,row) pairs that makes this kernel fast, and data-dependent
+group indices defeat Mosaic's pipelining; (b) per-(group,scan,row) sector
+bitmask predication (@pl.when on a scalar bit test) — exact, 4.4x slower:
+a predicated region costs ~26 cycles vs the ~6-cycle tile body it skips.
+At post-simplification segment counts (K <= 250 on every reference map) the
+branchless amortized sweep wins outright; revisit only if maps with K in
+the thousands appear.
 """
 
 from __future__ import annotations
