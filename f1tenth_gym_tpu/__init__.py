@@ -14,6 +14,7 @@ from f1tenth_gym_tpu.config import (
     INTEGRATOR_RK4,
     MODEL_KS,
     MODEL_ST,
+    Integrator,
     SimConfig,
 )
 from f1tenth_gym_tpu.state import MapData, ScanTables, SimState, VehicleParams
@@ -29,6 +30,7 @@ __all__ = [
     "DEFAULT_PARAMS",
     "INTEGRATOR_RK4",
     "INTEGRATOR_EULER",
+    "Integrator",
     "MODEL_ST",
     "MODEL_KS",
     "VehicleParams",

@@ -11,6 +11,7 @@ triggers recompilation.
 from __future__ import annotations
 
 import dataclasses
+import enum
 from typing import Optional
 
 import jax.numpy as jnp
@@ -18,6 +19,18 @@ import jax.numpy as jnp
 # Integrator choices (reference: base_classes.py:40-42, Integrator enum).
 INTEGRATOR_RK4 = "rk4"
 INTEGRATOR_EULER = "euler"
+
+
+class Integrator(enum.Enum):
+    """Drop-in shim for reference user code that passes
+    ``Integrator.RK4`` / ``Integrator.Euler`` (base_classes.py:40-42)."""
+
+    RK4 = INTEGRATOR_RK4
+    Euler = INTEGRATOR_EULER
+
+    @property
+    def name_str(self) -> str:
+        return self.value
 
 # Dynamics model families.
 MODEL_ST = "st"  # 7-state single-track with |v|<0.5 kinematic switch (reference default)

@@ -13,6 +13,7 @@ from f1tenth_gym_tpu.parallel.sharding import (
     shard_states,
 )
 from f1tenth_gym_tpu.parallel.rollout import Transition, rollout
+from f1tenth_gym_tpu.parallel import multihost
 
 __all__ = [
     "batch_reset",
@@ -27,4 +28,5 @@ __all__ = [
     "MODEL_AXIS",
     "rollout",
     "Transition",
+    "multihost",
 ]

@@ -1,0 +1,112 @@
+"""Renderer (headless), lap counting, multihost helpers, Integrator shim."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from f1tenth_gym_tpu import (
+    Integrator,
+    SimConfig,
+    VehicleParams,
+    make_env_fns,
+    make_scan_tables,
+)
+from f1tenth_gym_tpu.tracks.synthetic import ring_map_data
+
+
+@pytest.fixture(scope="module")
+def ring64():
+    m = ring_map_data(size=256, radius=4.0, dtype=jnp.float64)
+    params = VehicleParams.create(dtype=jnp.float64)
+    tables = make_scan_tables(num_beams=108, dtype=jnp.float64)
+    return m, params, tables
+
+
+def test_renderer_rgb_array(ring64):
+    pygame = pytest.importorskip("pygame")
+    from f1tenth_gym_tpu.render.renderer import EnvRenderer
+
+    m, params, tables = ring64
+    r = EnvRenderer(width=320, height=240, headless=True)
+    r.set_map_bitmap(np.asarray(m.dt > 0, np.float64) * 255.0,
+                     float(m.resolution),
+                     (float(m.orig_x), float(m.orig_y), 0.0))
+    r.update_obs({
+        "poses_x": np.array([4.0, 4.0]),
+        "poses_y": np.array([0.0, 1.0]),
+        "poses_theta": np.array([1.57, 1.57]),
+        "lap_times": np.array([0.0, 0.0]),
+        "lap_counts": np.array([0.0, 0.0]),
+    })
+    frame = r.draw(return_array=True)
+    assert frame.shape == (240, 320, 3) and frame.dtype == np.uint8
+    assert frame.std() > 0  # not a blank canvas
+    r.close()
+
+
+def test_lap_counting(ring64):
+    """Drive the ring: toggles increment crossing the start band; 2 laps
+    flips done (reference f110_env.py:204-246 semantics)."""
+    m, params, tables = ring64
+    cfg = SimConfig(num_agents=1, num_beams=108, dtype="float64",
+                    scan_noise=False)
+    reset, step = make_env_fns(params, m, tables, cfg, 0.01)
+    radius = 4.0
+    poses = jnp.asarray([[radius, 0.0, np.pi / 2]])
+    state, obs, *_ = reset(poses, jax.random.PRNGKey(0))
+
+    # drive the ring with simple feedback (pure curvature steering spirals
+    # out under the dynamic single-track model)
+    wheelbase = 0.15875 + 0.17145
+    base_steer = float(np.arctan(wheelbase / radius))
+    laps = []
+    done = False
+    for i in range(4000):
+        x = np.asarray(state.x)[0]
+        r = float(np.hypot(x[0], x[1]))
+        h_des = np.arctan2(x[1], x[0]) + np.pi / 2  # CCW tangent heading
+        h_err = (h_des - x[4] + np.pi) % (2 * np.pi) - np.pi
+        steer = np.clip(base_steer + 0.8 * (r - radius) + 1.0 * h_err,
+                        -0.41, 0.41)
+        state, obs, reward, done, info = step(
+            state, jnp.asarray([[steer, 3.0]]))
+        laps.append(float(obs["lap_counts"][0]))
+        if bool(done):
+            break
+    assert max(laps) >= 2.0, f"never completed 2 laps (max {max(laps)})"
+    assert bool(done), "2 laps did not set done"
+    assert float(state.collisions[0]) == 0.0, "crashed instead of lapping"
+    # lap_times froze at the 4th toggle
+    assert float(obs["lap_times"][0]) < float(state.current_time)
+
+
+def test_integrator_enum_shim(ring64):
+    m, params, tables = ring64
+    from f1tenth_gym_tpu.envs.gym_api import _normalize_integrator
+
+    assert _normalize_integrator(Integrator.RK4) == "rk4"
+    assert _normalize_integrator(Integrator.Euler) == "euler"
+    assert _normalize_integrator("RK4") == "rk4"
+
+
+def test_multihost_single_process(ring64):
+    """multihost helpers degrade gracefully to one process / 8 devices."""
+    from f1tenth_gym_tpu.parallel import batch_reset, multihost
+
+    m, params, tables = ring64
+    multihost.initialize()  # no-op single host
+    mesh = multihost.global_mesh()
+    assert mesh.shape["env"] == len(jax.devices())
+    cfg = SimConfig(num_agents=2, num_beams=108, dtype="float64")
+
+    def make_local(n):
+        poses = jnp.tile(jnp.asarray([[4.0, 0.0, 1.57], [4.0, 1.0, 1.57]],
+                                     jnp.float64), (n, 1, 1))
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        states, *_ = batch_reset(poses, keys, params, m, tables, cfg, 0.01)
+        return states
+
+    states = multihost.host_local_states(make_local, mesh, envs_per_host=16)
+    assert states.x.shape == (16, 2, 7)
+    assert len(states.x.sharding.device_set) == len(jax.devices())
