@@ -169,6 +169,26 @@ def gen_scans(lm):
     np.savez(os.path.join(OUT, "scans_example_map.npz"), poses=poses, scans=scans)
     print("scans_example_map.npz:", scans.shape)
 
+    # berlin / skirk golden scans — the analogue of the reference's own
+    # legacy_scan.npz cross-engine fixtures (unittest/scan_sim.py:306-366)
+    rng = np.random.default_rng(123)
+    for name in ("berlin", "skirk"):
+        sim_m = lm.ScanSimulator2D(1080, 4.7)
+        sim_m.set_map(
+            f"/root/reference/gym/f110_gym/envs/maps/{name}.yaml", ".png")
+        dt = sim_m.dt
+        res = sim_m.map_resolution
+        rows, cols = np.nonzero(dt > 1.0)  # >=1 m clearance
+        sel = rng.choice(len(rows), 10, replace=False)
+        px = (cols[sel] + 0.5) * res + sim_m.origin[0]
+        py = (rows[sel] + 0.5) * res + sim_m.origin[1]
+        pth = rng.uniform(0.0, 2 * np.pi, 10)
+        mposes = np.stack([px, py, pth], axis=1)
+        mscans = np.stack([sim_m.scan(mposes[i], None) for i in range(10)])
+        np.savez(os.path.join(OUT, f"scans_{name}.npz"),
+                 poses=mposes, scans=mscans)
+        print(f"scans_{name}.npz:", mscans.shape)
+
     # check_ttc golden
     rng = np.random.default_rng(3)
     num_beams = 1080

@@ -113,6 +113,38 @@ def test_scan_parity(map64, tables64):
     np.testing.assert_allclose(got, d["scans"], rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.parametrize("name", ["berlin", "skirk"])
+def test_scan_parity_reference_maps(name, tables64):
+    """Golden scans on the reference's own venue maps — the analogue of its
+    legacy_scan.npz cross-engine test (unittest/scan_sim.py:306-366).
+
+    March engine: exact. Segment/Pallas engines: MSE far under the
+    reference's own MSE < 2.0 cross-engine bar.
+    """
+    from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas
+    from f1tenth_gym_tpu.ops.segments import get_scan_segments
+    from f1tenth_gym_tpu.utils.map_loader import load_map
+
+    d = _fix(f"scans_{name}.npz")
+    path = f"/root/reference/gym/f110_gym/envs/maps/{name}.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference maps not mounted")
+    m = load_map(path, ".png", dtype=jnp.float64, extract_segments=True)
+    poses = jnp.asarray(d["poses"])
+
+    march = np.asarray(lidar.get_scan(poses, m, tables64, num_beams=1080,
+                                      theta_dis=2000))
+    np.testing.assert_allclose(march, d["scans"], rtol=1e-9, atol=1e-9)
+
+    seg = np.asarray(get_scan_segments(poses, m.segments, tables64,
+                                       1080, 2000))
+    assert np.mean((seg - d["scans"]) ** 2) < 2.0
+
+    pal = np.asarray(scan_pallas(poses, m.seg_table, tables64, 1080, 2000,
+                                 interpret=True))
+    assert np.mean((pal - d["scans"]) ** 2) < 2.0
+
+
 def test_ttc_parity(tables64):
     d = _fix("ttc.npz")
     hits = lidar.check_ttc(
