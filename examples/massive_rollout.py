@@ -9,6 +9,11 @@ program with full 1080-beam lidar and auto-reset.
 import argparse
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import jax.numpy as jnp
 

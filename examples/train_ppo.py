@@ -10,6 +10,11 @@ jitted train step, sharded over whatever devices are visible.
 import argparse
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
