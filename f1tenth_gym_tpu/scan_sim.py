@@ -67,10 +67,14 @@ class ScanSimulator2D:
 
     def set_map(self, map_path: str, map_ext: str = ".png") -> bool:
         """Load a map yaml/image pair (laser_models.py:383-427 semantics)."""
-        self.map_data = load_map(
+        return self.set_map_data(load_map(
             map_path, map_ext, dtype=self.dtype,
             extract_segments=(self.engine in ("segments", "pallas")),
-        )
+        ))
+
+    def set_map_data(self, map_data) -> bool:
+        """Use an already-built MapData (e.g. from tracks.synthetic)."""
+        self.map_data = map_data
         self._scan_fn = jax.jit(self._scan_batch_impl)
         return True
 

@@ -50,8 +50,7 @@ def test_bundled_map_loads_and_scans(name):
     wpts = load_waypoints(centerline_path(name))  # (N, 3) [x, y, v]
     assert wpts.shape[0] > 100
     sim = ScanSimulator2D(num_beams=108, engine="march", dtype=jnp.float64)
-    sim.map_data = m
-    sim._scan_fn = jax.jit(sim._scan_batch_impl)
+    sim.set_map_data(m)
     mid = wpts[len(wpts) // 2]
     scan = sim.scan(np.array([mid[0], mid[1], 0.0]))
     assert scan.shape == (108,)
