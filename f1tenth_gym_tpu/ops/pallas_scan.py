@@ -37,10 +37,16 @@ example maps, v5e): (a) per-(tile,sector) segment-list loops — exact, but
 all 144 (scan,row) pairs that makes this kernel fast, and data-dependent
 group indices defeat Mosaic's pipelining; (b) per-(group,scan,row) sector
 bitmask predication (@pl.when on a scalar bit test) — exact, 4.4x slower:
-a predicated region costs ~26 cycles vs the ~6-cycle tile body it skips.
-At post-simplification segment counts (K <= 250 on every reference map) the
-branchless amortized sweep wins outright; revisit only if maps with K in
-the thousands appear.
+a predicated region costs ~26 cycles vs the ~6-cycle tile body it skips;
+(c) tile-sorted batching (stable-sort scans by map tile, per-tile VISIBLE
+segment tables selected per program via scalar-prefetch block indexing —
+that mechanism itself measured zero-overhead and exact): sampled visibility
+tables averaged 74 segments vs 218 total, but the sort/scatter/gather
+plumbing costs a fixed ~4-5 ms at 8k scans and sampled visibility missed
+0.7% of beams by >10 cm — a wash on speed at real-map K, with an accuracy
+loss. At post-simplification segment counts (K <= 250 on every reference
+map) the branchless amortized sweep wins outright; revisit (c) only if maps
+with K in the thousands appear, using exact (non-sampled) per-tile culling.
 """
 
 from __future__ import annotations
@@ -259,3 +265,4 @@ def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
         return fn(p), True
 
     return fn(pose)
+
