@@ -53,7 +53,8 @@ class F110Env:
 
     kwargs (all optional, defaults match f110_env.py:102-159):
         seed, map, map_ext, params, num_agents, timestep, ego_idx,
-        integrator, lidar_dist, model, num_beams, scan_noise, dtype
+        integrator, lidar_dist, model, num_beams, scan_noise, scan_engine,
+        dtype
     """
 
     metadata = {"render.modes": ["human", "human_fast", "rgb_array"]}
@@ -71,6 +72,7 @@ class F110Env:
         model = kwargs.get("model", MODEL_ST)
         num_beams = kwargs.get("num_beams", 1080)
         scan_noise = kwargs.get("scan_noise", True)
+        scan_engine = kwargs.get("scan_engine", "march")
         dtype = kwargs.get("dtype", "float32")
 
         if self.map_name is None:
@@ -86,6 +88,7 @@ class F110Env:
             integrator=integrator,
             model=model,
             scan_noise=scan_noise,
+            scan_engine=scan_engine,
             dtype=dtype,
         )
         jdtype = self.cfg.jnp_dtype
@@ -104,7 +107,10 @@ class F110Env:
             lr=float(base.lr),
             dtype=jdtype,
         )
-        self.map_data = load_map(self.map_name, self.map_ext, dtype=jdtype)
+        self.map_data = load_map(
+            self.map_name, self.map_ext, dtype=jdtype,
+            extract_segments=(scan_engine in ("segments", "pallas")),
+        )
 
         self._reset_fn = jax.jit(
             lambda poses, key, params, map_data, timestep: env_reset(
@@ -168,7 +174,10 @@ class F110Env:
         recompilation; a different shape triggers one new compile."""
         self.map_name = map_path
         self.map_ext = map_ext
-        self.map_data = load_map(map_path, map_ext, dtype=self.cfg.jnp_dtype)
+        self.map_data = load_map(
+            map_path, map_ext, dtype=self.cfg.jnp_dtype,
+            extract_segments=(self.cfg.scan_engine in ("segments", "pallas")),
+        )
         if self.renderer is not None:
             self.renderer.update_map(map_path, map_ext)
 
