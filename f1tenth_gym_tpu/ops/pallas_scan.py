@@ -102,30 +102,53 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def _scan_kernel(R, n_groups, orig_ref, dirs_ref, seg_ref, out_ref, acc,
-                 dirb):
+def _scan_kernel(R, n_groups, theta_dis, num_beams, orig_ref, seg_ref,
+                 out_ref, acc, dirb):
     """One program: EA scans of R*128 beams against all segment groups.
 
-    orig_ref (1,EA,2) f32 SMEM; dirs_ref (EA,2,R,128) f32 VMEM;
+    orig_ref (1,EA,4) f32 SMEM rows [ox, oy, ti0, angle_inc_bins];
     seg_ref (K,8) f32 VMEM (constant block, DMA'd once);
     out (EA,R,128) f32; acc scratch (EA*R*8, 128) f32;
-    dirb scratch (EA*R*2*8, 128) f32 — beam dirs pre-broadcast to (8,128)
-    tiles once per program instead of once per (group, scan, row).
+    dirb scratch (EA*R*2*8, 128) f32 — beam dirs COMPUTED IN-KERNEL from the
+    theta-LUT bin index (ti0 + beam*inc mod theta_dis, exactly the reference
+    discretization of laser_models.py:164-184) and pre-broadcast to (8,128)
+    tiles. Computing directions here removes the XLA-side trig/pad/stack
+    preamble and its ~75 MB/step of HBM traffic.
     """
     from jax.experimental import pallas as pl
 
     inf = jnp.float32(1e9)
     zero = jnp.float32(0.0)
     one = jnp.float32(1.0)
+    td = jnp.float32(theta_dis)
+    bin_to_rad = jnp.float32(TWO_PI / (theta_dis - 1))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 1
+                                    ).astype(jnp.float32)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0
+                                    ).astype(jnp.float32)
 
     acc[:, :] = jnp.full((EA * R * GROUP, LANES), inf, jnp.float32)
     for ea in range(EA):
-        for r in range(R):
-            d0 = (ea * R + r) * 2 * GROUP
-            dirb[d0:d0 + GROUP, :] = jnp.broadcast_to(
-                dirs_ref[ea, 0, r:r + 1, :], (GROUP, LANES))
-            dirb[d0 + GROUP:d0 + 2 * GROUP, :] = jnp.broadcast_to(
-                dirs_ref[ea, 1, r:r + 1, :], (GROUP, LANES))
+        ti0 = orig_ref[0, ea, 2]
+        inc = orig_ref[0, ea, 3]
+        for r0 in range(0, R, GROUP):
+            nr = min(GROUP, R - r0)
+            # beam index matrix for rows r0..r0+nr-1: (8,128)
+            beam = (row8 + jnp.float32(r0)) * jnp.float32(LANES) + lane
+            t = ti0 + beam * inc
+            t = t - jnp.floor(t / td) * td          # == jnp.mod(t, td)
+            idx = t.astype(jnp.int32)               # floor: t >= 0
+            ang = idx.astype(jnp.float32) * bin_to_rad
+            cosm = jnp.cos(ang)
+            sinm = jnp.sin(ang)
+            for dr in range(nr):
+                r = r0 + dr
+                d0 = (ea * R + r) * 2 * GROUP
+                dirb[d0:d0 + GROUP, :] = jnp.broadcast_to(
+                    cosm[dr:dr + 1, :], (GROUP, LANES))
+                dirb[d0 + GROUP:d0 + 2 * GROUP, :] = jnp.broadcast_to(
+                    sinm[dr:dr + 1, :], (GROUP, LANES))
 
     def gbody(g, _):
         tb = seg_ref[pl.ds(g * GROUP, GROUP), :]            # (8,8)
@@ -200,35 +223,27 @@ def scan_pallas(
     fov = tables.fov.astype(jnp.float32)
     angle_inc = fov / (num_beams - 1)
 
-    # theta-LUT bin indices (exact reference discretization,
-    # laser_models.py:164-184), then direct trig — no gathers.
+    # only the per-scan theta-LUT starting bin is computed here; the per-beam
+    # bin indices and trig happen in-kernel (laser_models.py:164-184
+    # discretization, identical float ops — no gathers, no 75 MB dirs array)
     theta = p[:, 2]
     ti0 = theta_dis * (theta - fov / 2.0) / jnp.float32(TWO_PI)
     ti0 = jnp.mod(jnp.mod(ti0, theta_dis) + theta_dis, theta_dis)
-    i = jnp.arange(num_beams, dtype=jnp.float32)
-    inc = jnp.float32(theta_dis) * angle_inc / jnp.float32(TWO_PI)
-    idx = jnp.mod(ti0[:, None] + i[None, :] * inc, theta_dis).astype(jnp.int32)
-    ang = idx.astype(jnp.float32) * jnp.float32(TWO_PI / (theta_dis - 1))
-    pad = ((0, 0), (0, R * LANES - num_beams))
-    dirs = jnp.stack(
-        [jnp.pad(jnp.cos(ang), pad).reshape(n_pad, R, LANES),
-         jnp.pad(jnp.sin(ang), pad).reshape(n_pad, R, LANES)],
-        axis=1,
-    )
+    inc = jnp.full_like(ti0,
+                        jnp.float32(theta_dis) * angle_inc / jnp.float32(TWO_PI))
+    scalars = jnp.stack([p[:, 0], p[:, 1], ti0, inc], axis=-1)  # (n_pad, 4)
 
     K = seg_table.shape[0]
     n_groups = K // GROUP
     grid = (n_pad // EA,)
-    kern = functools.partial(_scan_kernel, R, n_groups)
+    kern = functools.partial(_scan_kernel, R, n_groups, theta_dis, num_beams)
 
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, EA, 2), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, EA, 4), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((EA, 2, R, LANES), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 8), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((EA, R, LANES), lambda g: (g, 0, 0),
@@ -238,7 +253,7 @@ def scan_pallas(
             pltpu.VMEM((EA * R * GROUP, LANES), jnp.float32),
             pltpu.VMEM((EA * R * 2 * GROUP, LANES), jnp.float32)],
         interpret=interpret,
-    )(p[:, :2].reshape(grid[0], EA, 2), dirs, seg_table)
+    )(scalars.reshape(grid[0], EA, 4), seg_table)
 
     out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
     out = jnp.minimum(out, tables.max_range.astype(jnp.float32))
