@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--beams", type=int, default=1080)
     ap.add_argument("--engine", default="pallas")
+    ap.add_argument("--save", default="", help="save policy params to this path")
+    ap.add_argument("--restore", default="", help="resume policy params from this path")
     args = ap.parse_args()
 
     cfg = SimConfig(num_agents=1, num_beams=args.beams, dtype="float32",
@@ -54,6 +56,11 @@ def main():
               replicate(tables, mesh), cfg, 0.01,
               PPOConfig(rollout_steps=32, obs_beams=64), mesh=mesh)
     ts = ppo.init(states, jax.random.PRNGKey(2))
+    if args.restore:
+        from f1tenth_gym_tpu.utils.checkpoint import load_pytree
+
+        ts = ts._replace(net_params=load_pytree(args.restore))
+        print(f"restored policy from {args.restore}")
     train_step = jax.jit(ppo.train_step)
 
     steps_per_iter = args.envs * ppo.pc.rollout_steps
@@ -65,6 +72,12 @@ def main():
         print(f"iter {it:4d}  loss {loss:9.4f}  "
               f"reward {float(metrics['mean_reward']):8.4f}  "
               f"{steps_per_iter/dt:,.0f} env-steps/s", flush=True)
+
+    if args.save:
+        from f1tenth_gym_tpu.utils.checkpoint import save_pytree
+
+        path = save_pytree(args.save, ts.net_params)
+        print(f"saved policy to {path}")
 
 
 if __name__ == "__main__":
