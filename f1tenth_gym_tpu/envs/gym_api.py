@@ -224,7 +224,15 @@ class F110Env:
             self.renderer = None
 
 
-class F110GymnasiumEnv:
+try:  # gymnasium.make requires inheriting gymnasium.Env
+    import gymnasium as _gymnasium
+
+    _GymnasiumBase = _gymnasium.Env
+except ImportError:  # pragma: no cover
+    _GymnasiumBase = object
+
+
+class F110GymnasiumEnv(_GymnasiumBase):
     """Gymnasium-flavored wrapper: 5-tuple step, spaces, options-reset."""
 
     metadata = {"render_modes": ["human", "human_fast", "rgb_array"]}
@@ -273,6 +281,8 @@ class F110GymnasiumEnv:
         self._default_poses = None
 
     def reset(self, *, seed=None, options=None):
+        if _GymnasiumBase is not object:
+            super().reset(seed=seed)
         if seed is not None:
             self._env.seed = seed
         poses = None

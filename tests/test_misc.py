@@ -110,3 +110,19 @@ def test_multihost_single_process(ring64):
     states = multihost.host_local_states(make_local, mesh, envs_per_host=16)
     assert states.x.shape == (16, 2, 7)
     assert len(states.x.sharding.device_set) == len(jax.devices())
+
+
+def test_gymnasium_make():
+    gymnasium = pytest.importorskip("gymnasium")
+    import f1tenth_gym_tpu.envs  # noqa: F401  (registers the id)
+    from f1tenth_gym_tpu.maps import map_path
+
+    env = gymnasium.make("f1tenth_tpu/f110-v0",
+                         map=map_path("compact")[:-5], map_ext=".png",
+                         num_agents=1, num_beams=108, dtype="float64")
+    obs, info = env.reset(options={"poses": np.array([[-0.5, -9.5, 0.0]])})
+    obs, reward, terminated, truncated, info = env.step(
+        np.array([[0.0, 1.0]]))
+    assert obs["scans"].shape == (1, 108)
+    assert env.action_space.shape == (1, 2)
+    env.close()
