@@ -8,8 +8,9 @@ hand-scheduled Mosaic kernel.
 
 Kernel design (each choice measured on TPU v5e):
 
-* one grid program computes EA=8 (env,agent) scans: per-program fixed costs
-  (block DMA issue, accumulator setup) dominated at 1 scan/program;
+* one grid program computes EA=16 (env,agent) scans: per-program fixed costs
+  (block DMA issue, accumulator setup) dominated at 1 scan/program
+  (~17 us); EA=32 measured slower than EA=16;
 * beams live in LANES (R rows x 128), segments in SUBLANES (groups of 8):
   every op is a full (8, 128) vreg. The transposed orientation puts
   (K,1)->(K,128) lane-broadcasts on the critical path, which Mosaic lowers
@@ -72,7 +73,9 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     num = c - n.o is a signed distance in meters: well-conditioned in f32)
     and the tangent scaled by 1/|e|^2 so the along-segment hit parameter w
     lies in [0, 1] (compared against constants; no per-segment bounds).
-    Padding / degenerate rows get -w0n = 10 so w can never fall in [0, 1].
+    Padding / degenerate rows get n = 0, c = 1 (so num = 1, never near the
+    inverse-range formulation's division) and -w0n = 10 so the along-segment
+    parameter can never fall in [0, 1].
     """
     segs = np.asarray(segments, np.float64)
     # drop the XLA engine's far-away padding rows up front — every retained
@@ -91,12 +94,13 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     out = np.stack([nx, ny, c, txn, tyn, -w0n,
                     np.zeros_like(c), np.zeros_like(c)], 1)
     out[~ok] = 0.0
+    out[~ok, 2] = 1.0
     out[~ok, 5] = 10.0
     k = len(out)
-    # pad to an even number of groups (the kernel unrolls 2 groups/iter)
-    kp = ((k + 2 * GROUP - 1) // (2 * GROUP)) * (2 * GROUP)
+    kp = ((k + GROUP - 1) // GROUP) * GROUP
     if kp > k:
         pad = np.zeros((kp - k, 8))
+        pad[:, 2] = 1.0
         pad[:, 5] = 10.0
         out = np.concatenate([out, pad], 0)
     return out.astype(np.float32)
@@ -117,9 +121,7 @@ def _scan_kernel(R, n_groups, theta_dis, num_beams, orig_ref, seg_ref,
     """
     from jax.experimental import pallas as pl
 
-    inf = jnp.float32(1e9)
     zero = jnp.float32(0.0)
-    one = jnp.float32(1.0)
     td = jnp.float32(theta_dis)
     bin_to_rad = jnp.float32(TWO_PI / (theta_dis - 1))
 
@@ -128,7 +130,8 @@ def _scan_kernel(R, n_groups, theta_dis, num_beams, orig_ref, seg_ref,
     row8 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0
                                     ).astype(jnp.float32)
 
-    acc[:, :] = jnp.full((EA * R * GROUP, LANES), inf, jnp.float32)
+    # acc holds INVERSE range s = 1/t, max-accumulated (see gbody); 0 = no hit
+    acc[:, :] = jnp.zeros((EA * R * GROUP, LANES), jnp.float32)
     for ea in range(EA):
         ti0 = orig_ref[0, ea, 2]
         inc = orig_ref[0, ea, 3]
@@ -151,6 +154,17 @@ def _scan_kernel(R, n_groups, theta_dis, num_beams, orig_ref, seg_ref,
                     sinm[dr:dr + 1, :], (GROUP, LANES))
 
     def gbody(g, _):
+        # INVERSE-RANGE formulation (round 2, measured faster than the direct
+        # t = num/den form): accumulate s = 1/t = den/num with MAX instead of
+        # t with MIN. 1/num depends only on (segment, scan-origin), so the
+        # per-element reciprocal of round 1 becomes one exact divide per
+        # 8-segment splat, amortized over all R beam rows. The along-segment
+        # validity 0 <= w <= 1 multiplied through by s (> 0 for any candidate
+        # that can win the max) becomes 0 <= b <= s with b = w*s = uo*s + ud;
+        # min(b, s - b) >= 0 also implies s >= 0, so t > 0 needs no extra op.
+        # Per-(8,128) tile: 11 ALU + 2 dir loads + acc load/store, vs 13 ALU
+        # in the round-1 form — and no approx-reciprocal error (the single
+        # exact division happens in the XLA epilogue).
         tb = seg_ref[pl.ds(g * GROUP, GROUP), :]            # (8,8)
         nx = jnp.broadcast_to(tb[:, 0:1], (GROUP, LANES))
         ny = jnp.broadcast_to(tb[:, 1:2], (GROUP, LANES))
@@ -160,27 +174,27 @@ def _scan_kernel(R, n_groups, theta_dis, num_beams, orig_ref, seg_ref,
             ox = orig_ref[0, ea, 0]
             oy = orig_ref[0, ea, 1]
             num8 = tb[:, 2:3] - ox * tb[:, 0:1] - oy * tb[:, 1:2]
+            # guard the splat divide: |num| < 1e-12 m means the scan origin
+            # sits ON the wall line — sub-picometer, never physical
+            # (folding inv into nx/ny splats instead measured 33% SLOWER:
+            # one extra lane-broadcast per (ea,group) beats the saved mul)
+            num8 = jnp.where(jnp.abs(num8) < 1e-12, jnp.float32(1e-12), num8)
+            inv8 = jnp.float32(1.0) / num8
             uo8 = ox * tb[:, 3:4] + oy * tb[:, 4:5] + tb[:, 5:6]
-            num = jnp.broadcast_to(num8, (GROUP, LANES))
+            inv = jnp.broadcast_to(inv8, (GROUP, LANES))
             uo = jnp.broadcast_to(uo8, (GROUP, LANES))
             for r in range(R):
                 d0 = (ea * R + r) * 2 * GROUP
                 dx = dirb[d0:d0 + GROUP, :]
                 dy = dirb[d0 + GROUP:d0 + 2 * GROUP, :]
                 den = nx * dx + ny * dy
+                s = den * inv
                 ud = tx * dx + ty * dy
-                # approx reciprocal: ~1e-3 relative range error (p99.5 < 2cm
-                # at example-map ranges), under the sigma=1cm beam noise and
-                # contour tolerance; measured 12% faster than exact.
-                # (2-group unrolling of this loop was measured 33% SLOWER —
-                # register pressure beats the ILP gain.)
-                t = num * pl.reciprocal(den, approx=True)
-                w = uo + t * ud
-                # fused validity: q >= 0 iff t >= 0 and 0 <= w <= 1
-                q = jnp.minimum(jnp.minimum(t, w), one - w)
-                t = jnp.where(q >= zero, t, inf)
+                b = uo * s + ud
+                q = jnp.minimum(b, s - b)
+                sc = jnp.where(q >= zero, s, zero)
                 a0 = (ea * R + r) * GROUP
-                acc[a0:a0 + GROUP, :] = jnp.minimum(acc[a0:a0 + GROUP, :], t)
+                acc[a0:a0 + GROUP, :] = jnp.maximum(acc[a0:a0 + GROUP, :], sc)
         return 0
 
     jax.lax.fori_loop(0, n_groups, gbody, 0)
@@ -188,8 +202,9 @@ def _scan_kernel(R, n_groups, theta_dis, num_beams, orig_ref, seg_ref,
     for ea in range(EA):
         for r in range(R):
             a0 = (ea * R + r) * GROUP
-            # max-range clamp happens outside the kernel (traced value)
-            out_ref[ea, r:r + 1, :] = jnp.min(
+            # output is the max INVERSE range; range = 1/s + max-range clamp
+            # happen outside the kernel (exact f32 division, fused by XLA)
+            out_ref[ea, r:r + 1, :] = jnp.max(
                 acc[a0:a0 + GROUP, :], axis=0, keepdims=True)
 
 
@@ -256,7 +271,9 @@ def scan_pallas(
     )(scalars.reshape(grid[0], EA, 4), seg_table)
 
     out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
-    out = jnp.minimum(out, tables.max_range.astype(jnp.float32))
+    # kernel emits inverse range (0 = no hit): exact division + clamp here
+    out = jnp.minimum(jnp.float32(1.0) / jnp.maximum(out, jnp.float32(1e-9)),
+                      tables.max_range.astype(jnp.float32))
     return out.reshape(*batch_shape, num_beams).astype(pose.dtype)
 
 
@@ -265,7 +282,7 @@ def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
     """scan_pallas that collapses under jax.vmap into ONE pallas call.
 
     jax's default pallas batching rule adds a grid dimension per vmap level,
-    which at (A=2)-sized inner batches pads every program to EA=8 scans (4x
+    which at (A=2)-sized inner batches pads every program to EA=16 scans (8x
     wasted compute) and explodes the program count. The custom_vmap rule
     instead folds every batch axis into the kernel's own flat batch.
     """
