@@ -148,6 +148,9 @@ def sim_step(
         scans = scan_pallas_vmappable(
             scan_pose, map_data.seg_table, tables, cfg.num_beams,
             cfg.theta_dis, interpret=(jax.default_backend() != "tpu"),
+            tile_tables=map_data.tile_tables,
+            tile_ngroups=map_data.tile_ngroups,
+            tile_meta=map_data.tile_meta,
         )  # (A, B)
     elif cfg.scan_engine == "segments":
         if map_data.segments is None:

@@ -32,22 +32,35 @@ contour tracer at 1.5-cell tolerance collapses rasterization stair-steps
 than cv2 center-line tracing (MSE 0.057 vs 0.20 against marched scans; the
 reference's own cross-engine tolerance is MSE < 2.0, unittest/scan_sim.py:342).
 
-Culling variants were built, measured, and deliberately rejected (berlin /
-example maps, v5e): (a) per-(tile,sector) segment-list loops — exact, but
-11x SLOWER: per-row processing forfeits the splat/fetch amortization over
-all 144 (scan,row) pairs that makes this kernel fast, and data-dependent
-group indices defeat Mosaic's pipelining; (b) per-(group,scan,row) sector
+Work reduction (round 2): EXACT per-tile segment culling. Each 16-scan
+program selects, via scalar-prefetch block indexing (zero overhead,
+measured), the table of segments PROVABLY visible from its scans' map
+tile neighborhood (conservative range + umbra proofs, ops/culling.py) and
+sweeps only those groups (dynamic fori_loop trip count). Heterogeneous
+programs fall back to the full table (block 0), so results are bit-exact
+either way; the env batch is kept tile-homogeneous by periodic locality
+RELABELING (parallel.vector.sort_envs_for_locality) — envs are
+independent, so no per-step scatter/unsort is ever needed, which is what
+sank the round-1 sampled-visibility variant (fixed ~4-5 ms of plumbing at
+8k scans, plus 0.7%-of-beams accuracy loss from sampling). On the
+reference example map this sweeps a mean ~18/28 groups at racing
+workloads: 343k -> ~480k env-steps/s/chip end to end.
+
+In-loop culling variants measured and rejected (berlin / example maps,
+v5e): (a) per-(tile,sector) segment-list loops — exact, but 11x SLOWER:
+per-row processing forfeits the splat/fetch amortization over all 144
+(scan,row) pairs that makes this kernel fast, and data-dependent group
+indices defeat Mosaic's pipelining; (b) per-(group,scan,row) sector
 bitmask predication (@pl.when on a scalar bit test) — exact, 4.4x slower:
-a predicated region costs ~26 cycles vs the ~6-cycle tile body it skips;
-(c) tile-sorted batching (stable-sort scans by map tile, per-tile VISIBLE
-segment tables selected per program via scalar-prefetch block indexing —
-that mechanism itself measured zero-overhead and exact): sampled visibility
-tables averaged 74 segments vs 218 total, but the sort/scatter/gather
-plumbing costs a fixed ~4-5 ms at 8k scans and sampled visibility missed
-0.7% of beams by >10 cm — a wash on speed at real-map K, with an accuracy
-loss. At post-simplification segment counts (K <= 250 on every reference
-map) the branchless amortized sweep wins outright; revisit (c) only if maps
-with K in the thousands appear, using exact (non-sampled) per-tile culling.
+a predicated region costs ~26 cycles vs the ~6-cycle tile body it skips.
+
+Measured cost structure at K=218 (v5e, 8192 scans): group loop ~300 us per
+8-segment group, already at ~3.9/4 VPU issue slots per cycle — the loop is
+ISSUE-BOUND, not schedulable faster at this op count; fixed ~2.5 ms
+per call scales with total scans (beam-direction trig + the out-phase
+sublane reductions), is independent of program count (EA=32 re-measured:
+same fixed cost, 47% worse loop), and is the next target if the north
+star demands it.
 """
 
 from __future__ import annotations
@@ -106,23 +119,31 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def _scan_kernel(R, n_groups, theta_dis, num_beams, orig_ref, seg_ref,
+def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, seg_ref,
                  out_ref, acc, dirb):
-    """One program: EA scans of R*128 beams against all segment groups.
+    """One program: EA scans of R*128 beams against its segment groups.
 
+    bid_ref (n_prog,) i32 SMEM (scalar-prefetch): per-program table block —
+    selects which per-tile culled table this program's seg_ref block DMAs
+    from (ops/culling.py); block 0 is the full fallback table. The
+    prefetch-indexed block mechanism measured zero overhead on v5e.
+    ng_ref (n_prog,) i32 SMEM: per-program segment-group count (dynamic
+    fori_loop trip count — culled tables sweep only their own groups).
     orig_ref (1,EA,4) f32 SMEM rows [ox, oy, ti0, angle_inc_bins];
-    seg_ref (K,8) f32 VMEM (constant block, DMA'd once);
+    seg_ref (1,Kmax,8) f32 VMEM (per-program block, double-buffered DMA);
     out (EA,R,128) f32; acc scratch (EA*R*8, 128) f32;
-    dirb scratch (EA*R*2*8, 128) f32 — beam dirs COMPUTED IN-KERNEL from the
-    theta-LUT bin index (ti0 + beam*inc mod theta_dis, exactly the reference
-    discretization of laser_models.py:164-184) and pre-broadcast to (8,128)
-    tiles. Computing directions here removes the XLA-side trig/pad/stack
-    preamble and its ~75 MB/step of HBM traffic.
+    dirb scratch (EA*ceil(R/8)*2*8, 128) f32 — beam dirs COMPUTED IN-KERNEL
+    from the theta-LUT bin index (ti0 + beam*inc mod theta_dis, exactly the
+    reference discretization of laser_models.py:164-184), stored
+    unreplicated (8 distinct beam rows per tile). Computing directions here
+    removes the XLA-side trig/pad/stack preamble and its ~75 MB/step of HBM
+    traffic.
     """
     from jax.experimental import pallas as pl
 
     zero = jnp.float32(0.0)
     td = jnp.float32(theta_dis)
+    inv_td = jnp.float32(1.0 / theta_dis)
     bin_to_rad = jnp.float32(TWO_PI / (theta_dis - 1))
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 1
@@ -130,30 +151,27 @@ def _scan_kernel(R, n_groups, theta_dis, num_beams, orig_ref, seg_ref,
     row8 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0
                                     ).astype(jnp.float32)
 
-    # acc holds INVERSE range s = 1/t, max-accumulated (see gbody); 0 = no hit
-    acc[:, :] = jnp.zeros((EA * R * GROUP, LANES), jnp.float32)
+    # beam directions stored UNREPLICATED: one (8,128) cos tile + one sin
+    # tile per (scan, rowgroup) holding 8 DIFFERENT beam rows. The inner
+    # loop slices single (1,128) rows and lets the elementwise ops
+    # sublane-broadcast them against the (8,128) segment splats (cheap,
+    # unlike lane broadcasts) — this removes the 288 broadcast+store pairs
+    # per program the round-1 kernel spent on pre-replicating directions.
+    RG = (R + GROUP - 1) // GROUP
     for ea in range(EA):
         ti0 = orig_ref[0, ea, 2]
         inc = orig_ref[0, ea, 3]
-        for r0 in range(0, R, GROUP):
-            nr = min(GROUP, R - r0)
-            # beam index matrix for rows r0..r0+nr-1: (8,128)
-            beam = (row8 + jnp.float32(r0)) * jnp.float32(LANES) + lane
+        for rg in range(RG):
+            # beam index matrix for rows rg*8..rg*8+7: (8,128)
+            beam = (row8 + jnp.float32(rg * GROUP)) * jnp.float32(LANES) + lane
             t = ti0 + beam * inc
-            t = t - jnp.floor(t / td) * td          # == jnp.mod(t, td)
-            idx = t.astype(jnp.int32)               # floor: t >= 0
-            ang = idx.astype(jnp.float32) * bin_to_rad
-            cosm = jnp.cos(ang)
-            sinm = jnp.sin(ang)
-            for dr in range(nr):
-                r = r0 + dr
-                d0 = (ea * R + r) * 2 * GROUP
-                dirb[d0:d0 + GROUP, :] = jnp.broadcast_to(
-                    cosm[dr:dr + 1, :], (GROUP, LANES))
-                dirb[d0 + GROUP:d0 + 2 * GROUP, :] = jnp.broadcast_to(
-                    sinm[dr:dr + 1, :], (GROUP, LANES))
+            t = t - jnp.floor(t * inv_td) * td      # == jnp.mod(t, td)
+            ang = jnp.floor(t) * bin_to_rad         # t >= 0: floor == int cast
+            d0 = (ea * RG + rg) * 2 * GROUP
+            dirb[d0:d0 + GROUP, :] = jnp.cos(ang)
+            dirb[d0 + GROUP:d0 + 2 * GROUP, :] = jnp.sin(ang)
 
-    def gbody(g, _):
+    def process_group(g, first):
         # INVERSE-RANGE formulation (round 2, measured faster than the direct
         # t = num/den form): accumulate s = 1/t = den/num with MAX instead of
         # t with MIN. 1/num depends only on (segment, scan-origin), so the
@@ -162,10 +180,15 @@ def _scan_kernel(R, n_groups, theta_dis, num_beams, orig_ref, seg_ref,
         # validity 0 <= w <= 1 multiplied through by s (> 0 for any candidate
         # that can win the max) becomes 0 <= b <= s with b = w*s = uo*s + ud;
         # min(b, s - b) >= 0 also implies s >= 0, so t > 0 needs no extra op.
-        # Per-(8,128) tile: 11 ALU + 2 dir loads + acc load/store, vs 13 ALU
-        # in the round-1 form — and no approx-reciprocal error (the single
-        # exact division happens in the XLA epilogue).
-        tb = seg_ref[pl.ds(g * GROUP, GROUP), :]            # (8,8)
+        # Per-(8,128) tile: 11 ALU + 2 dir row loads + acc load/store, vs 13
+        # ALU in the round-1 form — and no approx-reciprocal error (the
+        # single exact division happens in the XLA epilogue).
+        # (2-group unrolling with shared dx/dy loads was re-measured with
+        # this formulation too: 281k vs 370k env-steps/s — register
+        # pressure from 16 live splat tiles still beats the saved loads.
+        # Group 0 is peeled with first=True: it STORES its candidates,
+        # replacing both the acc zero-init and its load+max.)
+        tb = seg_ref[0, pl.ds(g * GROUP, GROUP), :]          # (8,8)
         nx = jnp.broadcast_to(tb[:, 0:1], (GROUP, LANES))
         ny = jnp.broadcast_to(tb[:, 1:2], (GROUP, LANES))
         tx = jnp.broadcast_to(tb[:, 3:4], (GROUP, LANES))
@@ -184,20 +207,28 @@ def _scan_kernel(R, n_groups, theta_dis, num_beams, orig_ref, seg_ref,
             inv = jnp.broadcast_to(inv8, (GROUP, LANES))
             uo = jnp.broadcast_to(uo8, (GROUP, LANES))
             for r in range(R):
-                d0 = (ea * R + r) * 2 * GROUP
-                dx = dirb[d0:d0 + GROUP, :]
-                dy = dirb[d0 + GROUP:d0 + 2 * GROUP, :]
-                den = nx * dx + ny * dy
+                rg, dr = divmod(r, GROUP)
+                d0 = (ea * RG + rg) * 2 * GROUP + dr
+                dx = dirb[d0:d0 + 1, :]                      # (1,128)
+                dy = dirb[d0 + GROUP:d0 + GROUP + 1, :]
+                den = nx * dx + ny * dy       # (8,128)*(1,128): sublane bcast
                 s = den * inv
                 ud = tx * dx + ty * dy
                 b = uo * s + ud
                 q = jnp.minimum(b, s - b)
                 sc = jnp.where(q >= zero, s, zero)
                 a0 = (ea * R + r) * GROUP
-                acc[a0:a0 + GROUP, :] = jnp.maximum(acc[a0:a0 + GROUP, :], sc)
-        return 0
+                if first:
+                    acc[a0:a0 + GROUP, :] = sc
+                else:
+                    acc[a0:a0 + GROUP, :] = jnp.maximum(
+                        acc[a0:a0 + GROUP, :], sc)
 
-    jax.lax.fori_loop(0, n_groups, gbody, 0)
+    # ngroups >= 1 always (ops/culling.py keeps one padding group even for
+    # all-wall tiles), so group 0 can be peeled unconditionally
+    process_group(0, True)
+    jax.lax.fori_loop(1, ng_ref[pl.program_id(0)],
+                      lambda g, _: (process_group(g, False), 0)[1], 0)
 
     for ea in range(EA):
         for r in range(R):
@@ -217,12 +248,23 @@ def scan_pallas(
     num_beams: int,
     theta_dis: int,
     interpret: bool = False,
+    tile_tables: jnp.ndarray = None,   # (n_tables, Kmax, 8), ops/culling.py
+    tile_ngroups: jnp.ndarray = None,  # (n_tables,) i32
+    tile_meta: jnp.ndarray = None,     # (6,) [x0, y0, 1/ts, nx, ny, r]
 ) -> jnp.ndarray:
     """Batched LiDAR scan -> (..., num_beams) ranges.
 
     Drop-in replacement for ops.segments.get_scan_segments. Any batch shape;
     the batch is flattened, padded to a multiple of EA, and fed to the grid.
     Set interpret=True on CPU (tests).
+
+    With tile_tables/tile_ngroups/tile_meta (built by
+    ops.culling.build_tile_tables), each 16-scan program sweeps only the
+    segments provably visible from its scans' map tiles: when all 16 scans
+    fit a (2r+1)x(2r+1) tile window the program uses that window's culled
+    table, else the full table (block 0) — exact either way. Locality-sort
+    the env batch (parallel.vector.sort_envs_for_locality) to keep programs
+    homogeneous.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -248,27 +290,60 @@ def scan_pallas(
                         jnp.float32(theta_dis) * angle_inc / jnp.float32(TWO_PI))
     scalars = jnp.stack([p[:, 0], p[:, 1], ti0, inc], axis=-1)  # (n_pad, 4)
 
-    K = seg_table.shape[0]
-    n_groups = K // GROUP
     grid = (n_pad // EA,)
-    kern = functools.partial(_scan_kernel, R, n_groups, theta_dis, num_beams)
+    n_prog = grid[0]
+    if tile_tables is None:
+        K = seg_table.shape[0]
+        tabs = seg_table[None]  # (1, K, 8)
+        bid = jnp.zeros((n_prog,), jnp.int32)
+        ng = jnp.full((n_prog,), K // GROUP, jnp.int32)
+    else:
+        tabs = tile_tables
+        x0, y0, inv_ts = tile_meta[0], tile_meta[1], tile_meta[2]
+        nx = tile_meta[3].astype(jnp.int32)
+        ny = tile_meta[4].astype(jnp.int32)
+        rr = tile_meta[5].astype(jnp.int32)
+        ti = jnp.floor((p[:, 0] - x0) * inv_ts).astype(jnp.int32)
+        tj = jnp.floor((p[:, 1] - y0) * inv_ts).astype(jnp.int32)
+        tig = ti.reshape(n_prog, EA)
+        tjg = tj.reshape(n_prog, EA)
+        ti_lo, ti_hi = tig.min(-1), tig.max(-1)
+        tj_lo, tj_hi = tjg.min(-1), tjg.max(-1)
+        # center tile of the program's bbox; table 1+cj*nx+ci provably
+        # covers every scan within Chebyshev radius r of (ci, cj)
+        ci = (ti_lo + ti_hi) // 2
+        cj = (tj_lo + tj_hi) // 2
+        ok = (
+            (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
+            & (ti_hi - ci <= rr) & (ci - ti_lo <= rr)
+            & (tj_hi - cj <= rr) & (cj - tj_lo <= rr)
+        )
+        bid = jnp.where(ok, 1 + cj * nx + ci, 0)
+        ng = tile_ngroups[bid].astype(jnp.int32)
 
-    out = pl.pallas_call(
-        kern,
+    Kt = tabs.shape[1]
+    kern = functools.partial(_scan_kernel, R, theta_dis, num_beams)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, EA, 4), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, EA, 4), lambda g, b, m: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((K, 8), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kt, 8), lambda g, b, m: (b[g], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((EA, R, LANES), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, R, LANES), jnp.float32),
+        out_specs=pl.BlockSpec((EA, R, LANES), lambda g, b, m: (g, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((EA * R * GROUP, LANES), jnp.float32),
-            pltpu.VMEM((EA * R * 2 * GROUP, LANES), jnp.float32)],
+            pltpu.VMEM((EA * ((R + GROUP - 1) // GROUP) * 2 * GROUP, LANES),
+                       jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, R, LANES), jnp.float32),
         interpret=interpret,
-    )(scalars.reshape(grid[0], EA, 4), seg_table)
+    )(bid, ng, scalars.reshape(n_prog, EA, 4), tabs)
 
     out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
     # kernel emits inverse range (0 = no hit): exact division + clamp here
@@ -278,7 +353,8 @@ def scan_pallas(
 
 
 def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
-                          interpret=False):
+                          interpret=False, tile_tables=None,
+                          tile_ngroups=None, tile_meta=None):
     """scan_pallas that collapses under jax.vmap into ONE pallas call.
 
     jax's default pallas batching rule adds a grid dimension per vmap level,
@@ -290,7 +366,8 @@ def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
     @jax.custom_batching.custom_vmap
     def fn(p):
         return scan_pallas(p, seg_table, tables, num_beams, theta_dis,
-                           interpret=interpret)
+                           interpret=interpret, tile_tables=tile_tables,
+                           tile_ngroups=tile_ngroups, tile_meta=tile_meta)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, p):  # noqa: ANN001

@@ -2,6 +2,7 @@ from f1tenth_gym_tpu.parallel.vector import (
     batch_reset,
     batch_step,
     make_autoreset_step,
+    sort_envs_for_locality,
     uniform_pose_sampler,
 )
 from f1tenth_gym_tpu.parallel.sharding import (
@@ -20,6 +21,7 @@ __all__ = [
     "batch_step",
     "make_autoreset_step",
     "uniform_pose_sampler",
+    "sort_envs_for_locality",
     "make_mesh",
     "env_batch_sharding",
     "shard_states",

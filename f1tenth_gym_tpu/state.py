@@ -118,6 +118,13 @@ class MapData:
     # (K, 8) precomputed kernel table for the Pallas scan engine
     # (ops/pallas_scan.py); built alongside `segments`
     seg_table: Optional[jnp.ndarray] = None
+    # exact per-tile segment-visibility culling for the Pallas engine
+    # (ops/culling.py): (n_tables, Kmax, 8) packed tables (entry 0 = full
+    # fallback), (n_tables,) group counts, (6,) grid meta
+    # [x0, y0, 1/tile_size, nx, ny, neighborhood]
+    tile_tables: Optional[jnp.ndarray] = None
+    tile_ngroups: Optional[jnp.ndarray] = None
+    tile_meta: Optional[jnp.ndarray] = None
 
     @property
     def height(self) -> int:

@@ -29,8 +29,7 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def example_map_path():
-    """Path to the reference's example map, when the reference is mounted."""
-    path = "/root/reference/examples/example_map.yaml"
-    if not os.path.exists(path):
-        pytest.skip("reference example map not available")
-    return path
+    """Path to the bundled copy of the reference's example map."""
+    from f1tenth_gym_tpu.maps import map_path
+
+    return map_path("example_map")

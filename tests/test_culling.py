@@ -1,0 +1,151 @@
+"""Per-tile segment-visibility culling (ops/culling.py).
+
+The culling is conservative-EXACT: a culled table must yield bit-identical
+scans to the full table for every pose inside the tile it serves. These
+tests check the geometric predicates directly and the end-to-end kernel
+equality (interpret mode) with programs that demonstrably use culled tables.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from f1tenth_gym_tpu import load_map, make_scan_tables
+from f1tenth_gym_tpu.maps import map_path
+from f1tenth_gym_tpu.ops.culling import build_tile_tables, tile_visibility
+from f1tenth_gym_tpu.ops.pallas_scan import EA, GROUP, scan_pallas
+
+
+def test_range_cull():
+    # tile at origin, one near segment, one beyond max_range
+    segs = np.array([
+        [1.0, -1.0, 1.0, 1.0],      # 1 m away: visible
+        [100.0, -1.0, 100.0, 1.0],  # 100 m away: range-culled at 30 m
+    ])
+    vis, nx, ny, x0, y0 = tile_visibility(
+        segs, max_range=30.0, tile_size=2.0, bbox=(-1.0, -1.0, 1.0, 1.0))
+    assert vis.shape == (1, 2)
+    assert bool(vis[0, 0]) and not bool(vis[0, 1])
+
+
+def test_umbra_cull():
+    # a long wall at x=5 fully shadows a far segment behind it, but not one
+    # poking out past the wall's end
+    segs = np.array([
+        [5.0, -50.0, 5.0, 50.0],   # the occluder
+        [8.0, -2.0, 8.0, 2.0],     # fully in its umbra: culled
+        [8.0, 40.0, 8.0, 400.0],   # reaches past the wall's shadow: visible
+    ])
+    vis, *_ = tile_visibility(
+        segs, max_range=1000.0, tile_size=2.0, bbox=(-1.0, -1.0, 1.0, 1.0))
+    assert bool(vis[0, 0])      # occluder itself visible
+    assert not bool(vis[0, 1])  # shadowed
+    assert bool(vis[0, 2])      # partially visible segment must be kept
+
+
+def test_no_self_occlusion():
+    segs = np.array([[5.0, -50.0, 5.0, 50.0]])
+    vis, *_ = tile_visibility(
+        segs, max_range=1000.0, tile_size=2.0, bbox=(-1.0, -1.0, 1.0, 1.0))
+    assert bool(vis[0, 0])
+
+
+@pytest.fixture(scope="module")
+def culled_map():
+    return load_map(map_path("compact"), ".png", extract_segments=True,
+                    tile_culling=True, culling_tile_size=2.0)
+
+
+def test_tile_tables_shapes(culled_map):
+    m = culled_map
+    assert m.tile_tables is not None and m.tile_ngroups is not None
+    n_tables, kmax, eight = m.tile_tables.shape
+    assert eight == 8 and kmax % GROUP == 0
+    meta = np.asarray(m.tile_meta)
+    assert n_tables == int(meta[3]) * int(meta[4]) + 1
+    ng = np.asarray(m.tile_ngroups)
+    assert ng.min() >= 1 and ng.max() * GROUP <= kmax
+    # culling must actually bite somewhere
+    assert ng[1:].min() < ng[0]
+
+
+def test_culled_scan_bitwise_equals_full(culled_map):
+    """Clustered in-grid poses -> culled-table programs; scans must be
+    bit-identical to the full sweep (floating max over a subset equals max
+    over the superset when the removed elements provably never win)."""
+    m = culled_map
+    tables = make_scan_tables(num_beams=108)
+    meta = np.asarray(m.tile_meta)
+    nx, ny, r = int(meta[3]), int(meta[4]), int(meta[5])
+    dt = np.asarray(m.dt)
+    res = float(m.resolution)
+    rng = np.random.default_rng(5)
+    cells = np.argwhere(dt > 0.3)
+    wx = cells[:, 1] * res + float(m.orig_x)
+    wy = cells[:, 0] * res + float(m.orig_y)
+    ing = ((wx > meta[0] + 2) & (wx < meta[0] + nx / meta[2] - 2)
+           & (wy > meta[1] + 2) & (wy < meta[1] + ny / meta[2] - 2))
+    cells = cells[ing]
+
+    poses = []
+    for _ in range(4):  # 4 programs of EA clustered scans
+        ctr = cells[rng.integers(0, len(cells))]
+        for _ in range(EA):
+            off = rng.uniform(-0.5 / res, 0.5 / res, 2)
+            cc = np.clip(ctr + off, 0, np.array(dt.shape) - 1)
+            poses.append([cc[1] * res + float(m.orig_x),
+                          cc[0] * res + float(m.orig_y),
+                          rng.uniform(0, 2 * np.pi)])
+    p = jnp.asarray(np.asarray(poses, np.float32))
+
+    # at least half the programs must resolve to a culled (non-full) table,
+    # otherwise this test exercises nothing
+    ti = np.floor((np.asarray(p)[:, 0] - meta[0]) * meta[2]).astype(int)
+    tj = np.floor((np.asarray(p)[:, 1] - meta[1]) * meta[2]).astype(int)
+    ti, tj = ti.reshape(-1, EA), tj.reshape(-1, EA)
+    ci = (ti.min(1) + ti.max(1)) // 2
+    cj = (tj.min(1) + tj.max(1)) // 2
+    ok = ((ti.min(1) >= 0) & (tj.min(1) >= 0) & (ti.max(1) < nx)
+          & (tj.max(1) < ny) & (ti.max(1) - ci <= r) & (ci - ti.min(1) <= r)
+          & (tj.max(1) - cj <= r) & (cj - tj.min(1) <= r))
+    assert ok.sum() >= 2
+
+    full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
+    cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
+                       tile_tables=m.tile_tables,
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta)
+    assert np.array_equal(np.asarray(full), np.asarray(cull))
+
+
+def test_out_of_grid_falls_back_exactly(culled_map):
+    """Poses outside the tile grid (or scattered programs) must fall back to
+    the full table and still be exact."""
+    m = culled_map
+    tables = make_scan_tables(num_beams=108)
+    rng = np.random.default_rng(6)
+    dt = np.asarray(m.dt)
+    res = float(m.resolution)
+    cells = np.argwhere(dt > 0.3)
+    pick = cells[rng.integers(0, len(cells), EA)]
+    poses = np.stack([pick[:, 1] * res + float(m.orig_x),
+                      pick[:, 0] * res + float(m.orig_y),
+                      rng.uniform(0, 2 * np.pi, EA)], 1).astype(np.float32)
+    p = jnp.asarray(poses)
+    full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
+    cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
+                       tile_tables=m.tile_tables,
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta)
+    assert np.array_equal(np.asarray(full), np.asarray(cull))
+
+
+def test_build_deterministic():
+    segs = np.array([
+        [0.0, 0.0, 4.0, 0.0], [4.0, 0.0, 4.0, 4.0],
+        [4.0, 4.0, 0.0, 4.0], [0.0, 4.0, 0.0, 0.0],
+        [1.5, 1.5, 2.5, 1.5],
+    ])
+    a = build_tile_tables(segs, 30.0, tile_size=1.0)
+    b = build_tile_tables(segs, 30.0, tile_size=1.0)
+    assert np.array_equal(a.tables, b.tables)
+    assert np.array_equal(a.ngroups, b.ngroups)

@@ -45,9 +45,9 @@ def params64():
 
 @pytest.fixture(scope="module")
 def map64():
-    if not os.path.exists("/root/reference/examples/example_map.yaml"):
-        pytest.skip("reference example map not available")
-    return load_map("/root/reference/examples/example_map.yaml", ".png", dtype=F64)
+    from f1tenth_gym_tpu.maps import map_path
+
+    return load_map(map_path("example_map"), ".png", dtype=F64)
 
 
 @pytest.fixture(scope="module")
@@ -125,11 +125,11 @@ def test_scan_parity_reference_maps(name, tables64):
     from f1tenth_gym_tpu.ops.segments import get_scan_segments
     from f1tenth_gym_tpu.utils.map_loader import load_map
 
+    from f1tenth_gym_tpu.maps import map_path
+
     d = _fix(f"scans_{name}.npz")
-    path = f"/root/reference/gym/f110_gym/envs/maps/{name}.yaml"
-    if not os.path.exists(path):
-        pytest.skip("reference maps not mounted")
-    m = load_map(path, ".png", dtype=jnp.float64, extract_segments=True)
+    m = load_map(map_path(name), ".png", dtype=jnp.float64,
+                 extract_segments=True)
     poses = jnp.asarray(d["poses"])
 
     march = np.asarray(lidar.get_scan(poses, m, tables64, num_beams=1080,

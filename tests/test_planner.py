@@ -58,15 +58,14 @@ def test_circle_intersection_parity():
 def test_closed_loop_parity():
     """Pure pursuit + env reproduces the reference's 500-step driven lap
     segment on example_map (BASELINE configs 1-2)."""
+    from f1tenth_gym_tpu.maps import map_path
+
     d = _fix("closed_loop.npz")
-    if not os.path.exists("/root/reference/examples/example_map.yaml"):
-        pytest.skip("reference example map not available")
 
     cfg = SimConfig(num_agents=1, scan_noise=False, dtype="float64")
     params = VehicleParams.create(dtype=jnp.float64)
     tables = make_scan_tables(dtype=jnp.float64)
-    m = load_map("/root/reference/examples/example_map.yaml", ".png",
-                 dtype=jnp.float64)
+    m = load_map(map_path("example_map"), ".png", dtype=jnp.float64)
 
     wpts = jnp.asarray(d["wpts_xyv"])
     tlad, vgain = float(d["tlad"]), float(d["vgain"])
