@@ -244,13 +244,19 @@ class F110GymnasiumEnv(_GymnasiumBase):
         self._env = F110Env(**kwargs)
         self.render_mode = render_mode
         A, B = self._env.num_agents, self._env.cfg.num_beams
-        big = np.finfo(np.float32).max
+        # spaces declare the dtype the env actually emits (the configured
+        # sim dtype), and observations are cast to it in _host_obs_cast —
+        # under x64 some jnp ops widen to float64, which made the round-1
+        # passive checker warn about dtype/bounds mismatches
+        dt = np.dtype(self._env.cfg.dtype)
+        self._np_dtype = dt
+        big = np.finfo(dt).max
         self.action_space = spaces.Box(
             low=np.tile(
                 np.array(
                     [np.min(np.asarray(self._env.params.s_min)),
                      np.min(np.asarray(self._env.params.v_min))],
-                    dtype=np.float32,
+                    dtype=dt,
                 ),
                 (A, 1),
             ),
@@ -258,27 +264,34 @@ class F110GymnasiumEnv(_GymnasiumBase):
                 np.array(
                     [np.max(np.asarray(self._env.params.s_max)),
                      np.max(np.asarray(self._env.params.v_max))],
-                    dtype=np.float32,
+                    dtype=dt,
                 ),
                 (A, 1),
             ),
-            dtype=np.float32,
+            dtype=dt,
         )
+        # scans: max_range clamp + additive Gaussian noise (sigma = 0.01)
+        # applied post-clamp can push a beam slightly outside [0, max_range]
+        max_range = float(np.asarray(self._env.tables.max_range))
         self.observation_space = spaces.Dict(
             {
-                "scans": spaces.Box(0.0, 1000.0, (A, B), np.float32),
-                "poses_x": spaces.Box(-big, big, (A,), np.float32),
-                "poses_y": spaces.Box(-big, big, (A,), np.float32),
-                "poses_theta": spaces.Box(-big, big, (A,), np.float32),
-                "linear_vels_x": spaces.Box(-big, big, (A,), np.float32),
-                "linear_vels_y": spaces.Box(-big, big, (A,), np.float32),
-                "ang_vels_z": spaces.Box(-big, big, (A,), np.float32),
-                "collisions": spaces.Box(0.0, 1.0, (A,), np.float32),
-                "lap_times": spaces.Box(0.0, big, (A,), np.float32),
-                "lap_counts": spaces.Box(0.0, big, (A,), np.float32),
+                "scans": spaces.Box(-1.0, max_range + 1.0, (A, B), dt),
+                "poses_x": spaces.Box(-big, big, (A,), dt),
+                "poses_y": spaces.Box(-big, big, (A,), dt),
+                "poses_theta": spaces.Box(-big, big, (A,), dt),
+                "linear_vels_x": spaces.Box(-big, big, (A,), dt),
+                "linear_vels_y": spaces.Box(-big, big, (A,), dt),
+                "ang_vels_z": spaces.Box(-big, big, (A,), dt),
+                "collisions": spaces.Box(0.0, 1.0, (A,), dt),
+                "lap_times": spaces.Box(0.0, big, (A,), dt),
+                "lap_counts": spaces.Box(0.0, big, (A,), dt),
             }
         )
         self._default_poses = None
+
+    def _host_obs_cast(self, obs):
+        obs.pop("ego_idx", None)
+        return {k: np.asarray(v, dtype=self._np_dtype) for k, v in obs.items()}
 
     def reset(self, *, seed=None, options=None):
         if _GymnasiumBase is not object:
@@ -294,15 +307,13 @@ class F110GymnasiumEnv(_GymnasiumBase):
             poses = np.zeros((self._env.num_agents, 3))
         self._default_poses = poses
         obs, _, _, info = self._env.reset(poses)
-        obs.pop("ego_idx", None)
-        return obs, info
+        return self._host_obs_cast(obs), info
 
     def step(self, action):
         obs, reward, done, info = self._env.step(action)
-        obs.pop("ego_idx", None)
         if self.render_mode in ("human", "human_fast"):
             self._env.render(self.render_mode)
-        return obs, reward, bool(done), False, info
+        return self._host_obs_cast(obs), reward, bool(done), False, info
 
     def render(self):
         return self._env.render(self.render_mode or "rgb_array")

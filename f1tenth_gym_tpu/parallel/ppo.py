@@ -12,8 +12,10 @@ mesh:
   * loss means over the sharded batch axis make XLA insert the gradient
     all-reduce over ICI — the NCCL-free equivalent of DDP.
 
-This is deliberately a compact, production-shaped PPO (GAE, multi-epoch
-minibatch updates, entropy bonus, advantage normalization), not a toy.
+This is deliberately a compact, production-shaped PPO (PER-AGENT rewards/
+values/GAE — a crashing opponent never pollutes the ego's gradient —
+multi-epoch minibatch updates, entropy bonus, advantage normalization),
+not a toy.
 """
 
 from __future__ import annotations
@@ -195,16 +197,18 @@ class PPO:
         return raw, logp, value
 
     def _shaped_reward(self, states: SimState, done):
-        """Progress-style shaping: forward speed minus crash penalty."""
+        """Progress-style shaping, PER AGENT (E, A): forward speed minus
+        crash penalty. A crashing opponent must not pollute the ego's
+        reward (and vice versa) — each agent learns on its own signal."""
         v = states.x[..., 3]  # (E, A)
         crash = states.collisions  # (E, A)
         return (
-            self.pc.speed_reward * v.mean(-1) * self.timestep
-            - self.pc.crash_penalty * crash.mean(-1)
+            self.pc.speed_reward * v * self.timestep
+            - self.pc.crash_penalty * crash
         )
 
     def rollout(self, ts: TrainState):
-        """Collect rollout_steps transitions for the EGO agent of each env."""
+        """Collect rollout_steps transitions for every agent of each env."""
         pc = self.pc
 
         def body(carry, _):
@@ -233,11 +237,12 @@ class PPO:
     # ------------------------------------------------------------- losses
     def _gae(self, traj, value_T):
         pc = self.pc
-        # per-env scalar reward/done; values are (T, E, A) -> use ego mean
-        values = traj["value"].mean(-1)  # (T, E)
-        v_last = value_T.mean(-1)  # (E,)
-        rewards = traj["reward"]  # (T, E)
-        dones = traj["done"].astype(values.dtype)  # (T, E)
+        # everything PER AGENT: values/rewards (T, E, A); env-level done
+        # broadcasts over the agent axis
+        values = traj["value"]  # (T, E, A)
+        v_last = value_T  # (E, A)
+        rewards = traj["reward"]  # (T, E, A)
+        dones = traj["done"].astype(values.dtype)[..., None]  # (T, E, 1)
 
         def scan_fn(carry, x):
             gae, next_value = carry
@@ -260,11 +265,11 @@ class PPO:
         mean, log_std, value = self.net.apply(net_params, batch["feats"])
         logp = gaussian_logp(mean, log_std, batch["raw"])
         ratio = jnp.exp(logp - batch["logp"])
-        adv = batch["adv"][..., None]  # broadcast over agents
+        adv = batch["adv"]  # (N, A): per-agent advantages
         pg1 = ratio * adv
         pg2 = jnp.clip(ratio, 1 - pc.clip_eps, 1 + pc.clip_eps) * adv
         pg_loss = -jnp.minimum(pg1, pg2).mean()
-        v_loss = 0.5 * ((value.mean(-1) - batch["ret"]) ** 2).mean()
+        v_loss = 0.5 * ((value - batch["ret"]) ** 2).mean()
         ent = jnp.sum(log_std + 0.5 * jnp.log(2 * np.pi * np.e), axis=-1).mean()
         total = pg_loss + pc.vf_coef * v_loss - pc.ent_coef * ent
         return total, dict(pg=pg_loss, vf=v_loss, ent=ent)
@@ -277,13 +282,13 @@ class PPO:
         advs, returns = self._gae(traj, value_T)
         advs = (advs - advs.mean()) / (advs.std() + 1e-8)
 
-        T, E = advs.shape
+        T, E, A = advs.shape
         flat = dict(
             feats=traj["feats"].reshape(T * E, *traj["feats"].shape[2:]),
             raw=traj["raw"].reshape(T * E, *traj["raw"].shape[2:]),
             logp=traj["logp"].reshape(T * E, *traj["logp"].shape[2:]),
-            adv=advs.reshape(T * E),
-            ret=returns.reshape(T * E),
+            adv=advs.reshape(T * E, A),
+            ret=returns.reshape(T * E, A),
         )
 
         def epoch_body(carry, _):

@@ -126,3 +126,25 @@ def test_gymnasium_make():
     assert obs["scans"].shape == (1, 108)
     assert env.action_space.shape == (1, 2)
     env.close()
+
+
+def test_gymnasium_env_checker_clean():
+    """gymnasium's env checker passes with ZERO warnings: the declared
+    spaces match the emitted observation dtypes and bounds exactly."""
+    import warnings
+
+    gymnasium = pytest.importorskip("gymnasium")
+    from gymnasium.utils.env_checker import check_env
+
+    from f1tenth_gym_tpu.envs.gym_api import F110GymnasiumEnv
+    from f1tenth_gym_tpu.maps import map_path
+
+    env = F110GymnasiumEnv(map=map_path("compact")[:-5], map_ext=".png",
+                           num_agents=2, num_beams=108, dtype="float64")
+    # seed the default reset poses with a clearly-free spot
+    env.reset(options={"poses": np.array([[-0.5, -9.5, 0.0],
+                                          [-0.5, -8.3, 0.0]])})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        check_env(env, skip_render_check=True)
+    env.close()
