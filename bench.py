@@ -36,6 +36,97 @@ import numpy as np
 REFERENCE_FULL_STEP_RATE = 500.0  # env-steps/s, single CPU core (BASELINE.md)
 
 
+def weak_child(n_devices: int):
+    """One weak-scaling measurement: n virtual CPU devices, envs/device
+    held constant, env batch sharded over an ('env',) mesh. Prints one
+    JSON line {devices, rate}."""
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from f1tenth_gym_tpu import SimConfig, VehicleParams, load_map, make_scan_tables
+    from f1tenth_gym_tpu.maps import map_path as bundled_map
+    from f1tenth_gym_tpu.parallel import (
+        batch_reset, make_autoreset_step, make_mesh, replicate, shard_states,
+        uniform_pose_sampler,
+    )
+
+    envs_per_device = int(os.environ.get("BENCH_WEAK_ENVS_PER_DEVICE", 64))
+    steps = int(os.environ.get("BENCH_WEAK_STEPS", 16))
+    num_envs = envs_per_device * n_devices
+    cfg = SimConfig(num_agents=2, num_beams=108, dtype="float32",
+                    scan_engine="segments")
+    params = VehicleParams.create(dtype=jnp.float32)
+    tables = make_scan_tables(num_beams=108, dtype=jnp.float32)
+    map_data = load_map(bundled_map("example_map"), ".png", dtype=jnp.float32,
+                        extract_segments=True)
+    mesh = make_mesh(num_env_shards=n_devices, num_model_shards=1)
+    sampler = uniform_pose_sampler(map_data, clearance=0.6,
+                                   component_seed=(0.7, 0.0), grouped=True,
+                                   align_theta=True)
+    poses = sampler(jax.random.PRNGKey(7), (num_envs, 2))
+    keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
+    states, *_ = batch_reset(poses, keys, params, map_data, tables, cfg, 0.01)
+    states = shard_states(states, mesh)
+    params_r = replicate(params, mesh)
+    map_r = replicate(map_data, mesh)
+    tables_r = replicate(tables, mesh)
+    astep = make_autoreset_step(params_r, map_r, tables_r, cfg, 0.01,
+                                reset_to_start=True)
+
+    @jax.jit
+    def fstep(s):
+        a = jnp.zeros((num_envs, 2, 2), jnp.float32).at[..., 1].set(2.0)
+        s, *_ = astep(s, a)
+        return s
+
+    s = fstep(states)
+    _ = float(jnp.sum(s.x))
+    t0 = time.time()
+    for _ in range(steps):
+        s = fstep(s)
+    _ = float(jnp.sum(s.x))
+    rate = num_envs * steps / (time.time() - t0)
+    print(json.dumps({"devices": n_devices, "rate": round(rate, 1)}))
+
+
+def weak_parent():
+    """Weak-scaling sweep over 1/2/4/8 virtual CPU devices (the multi-chip
+    sharding-overhead stand-in for the pod-scaling target; real ICI rates
+    need real multi-chip hardware). Prints a table + one JSON line."""
+    import subprocess
+    import sys as _sys
+
+    rates = {}
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + f" --xla_force_host_platform_device_count={n}").strip()
+        env["JAX_PLATFORMS"] = "cpu"
+        out = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__), "--weak-child", str(n)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if out.returncode != 0 or not line:
+            print(out.stdout + out.stderr, file=sys.stderr)
+            raise RuntimeError(f"weak-scaling child n={n} failed")
+        rates[n] = json.loads(line[-1])["rate"]
+        print(f"# devices={n}: {rates[n]:.0f} env-steps/s "
+              f"({rates[n]/n:.0f}/device)", file=sys.stderr)
+    # virtual devices share one physical CPU, so the meaningful number is
+    # throughput RETENTION: total rate with 8 shards of 8x the envs vs 1
+    # shard (1.0 = the sharded program adds zero overhead; per-device ICI
+    # scaling needs real multi-chip hardware)
+    retention = rates[8] / rates[1]
+    print(json.dumps({
+        "metric": "weak_scaling_throughput_retention_8shard",
+        "value": round(retention, 3),
+        "unit": "x",
+        "total_rates": {str(n): rates[n] for n in rates},
+    }))
+
+
 def main():
     num_envs = int(os.environ.get("BENCH_ENVS", 4096))
     num_steps = int(os.environ.get("BENCH_STEPS", 256))
@@ -197,4 +288,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--weak-child":
+        weak_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--weak-scaling":
+        weak_parent()
+    else:
+        main()

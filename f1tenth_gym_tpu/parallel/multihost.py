@@ -9,13 +9,21 @@ hosts. Env stepping then never communicates (each host steps its shard on
 its local chips over ICI); only the learner's gradient all-reduce crosses
 hosts over DCN.
 
-Typical pod-slice launch (same script on every host):
+Typical pod-slice launch (same script on every host; call ``initialize``
+BEFORE any other jax API — backend initialization must not precede
+``jax.distributed.initialize``):
 
     from f1tenth_gym_tpu.parallel import multihost
     multihost.initialize()                 # no-op on single host
     mesh = multihost.global_mesh()         # 'env' spans all chips of all hosts
-    states = multihost.host_local_states(make_local_batch, mesh)
+    states = multihost.host_local_states(make_local_batch, mesh,
+                                         envs_per_host=4096)
     # ... PPO(..., mesh=mesh) exactly as single-host
+
+Exercised for real by tests/test_multihost.py: two coordinated CPU
+processes x 4 virtual devices each, stitching host-local env batches into
+one 8-device global array and cross-host all-reducing through a jitted
+computation.
 """
 
 from __future__ import annotations
@@ -29,26 +37,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from f1tenth_gym_tpu.parallel.sharding import ENV_AXIS, MODEL_AXIS
 
 
+def is_initialized() -> bool:
+    """True when the jax distributed runtime is wired up. Unlike
+    jax.process_count(), this does NOT initialize the backend."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift
+        return False
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Wire up multi-host JAX. On TPU pods with default env vars, call with
-    no arguments; on other clusters pass the coordinator explicitly.
-    No-op when the process topology is already initialized or single-host.
+    """Wire up multi-host JAX. On TPU pods / managed clusters with default
+    env vars, call with no arguments; on other clusters pass the
+    coordinator explicitly. Must run before any other jax API (anything
+    that initializes the backend — even jax.process_count — breaks
+    jax.distributed.initialize). No-op when already initialized; a
+    single-host run without cluster env vars is detected and left local,
+    but real failures of an EXPLICIT initialization are raised, never
+    swallowed.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
-    if coordinator_address is None and num_processes is None:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # single-host / no cluster env: run locally
-    else:
+    if is_initialized():
+        return
+    explicit = coordinator_address is not None or num_processes is not None
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+    except (RuntimeError, ValueError) as e:
+        if "already" in str(e).lower():
+            return
+        if explicit:
+            raise
+        # no-arg path, no cluster autodetection available: single host
 
 
 def global_mesh(num_model_shards: int = 1) -> Mesh:
