@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--engine", default="pallas")
     ap.add_argument("--save", default="", help="save policy params to this path")
     ap.add_argument("--restore", default="", help="resume policy params from this path")
+    ap.add_argument("--metrics-out", default="",
+                    help="append per-iteration metrics to this JSONL file")
     args = ap.parse_args()
 
     cfg = SimConfig(num_agents=1, num_beams=args.beams, dtype="float32",
@@ -59,9 +61,15 @@ def main():
     if args.restore:
         from f1tenth_gym_tpu.utils.checkpoint import load_pytree
 
-        ts = ts._replace(net_params=load_pytree(args.restore))
+        ts = ts._replace(net_params=load_pytree(args.restore, target=ts.net_params))
         print(f"restored policy from {args.restore}")
     train_step = jax.jit(ppo.train_step)
+
+    logger = None
+    if args.metrics_out:
+        from f1tenth_gym_tpu.utils.metrics import MetricsLogger
+
+        logger = MetricsLogger(args.metrics_out)
 
     steps_per_iter = args.envs * ppo.pc.rollout_steps
     for it in range(args.iters):
@@ -72,6 +80,13 @@ def main():
         print(f"iter {it:4d}  loss {loss:9.4f}  "
               f"reward {float(metrics['mean_reward']):8.4f}  "
               f"{steps_per_iter/dt:,.0f} env-steps/s", flush=True)
+        if logger is not None:
+            logger.log(iter=it, loss=loss,
+                       mean_reward=float(metrics["mean_reward"]),
+                       crash_rate=float(metrics["crash_rate"]),
+                       env_steps_per_sec=steps_per_iter / dt)
+    if logger is not None:
+        logger.close()
 
     if args.save:
         from f1tenth_gym_tpu.utils.checkpoint import save_pytree

@@ -7,6 +7,11 @@ frames.
   python examples/waypoint_follow.py                  # generated random track
   python examples/waypoint_follow.py --map /path/map --waypoints wp.csv
   python examples/waypoint_follow.py --render rgb --frames-out /tmp/frames
+  python examples/waypoint_follow.py --config examples/config_example_map.yaml
+
+With --config the whole experiment (map, start pose, raceline csv + column
+indices, controller gains, seed) comes from one yaml in the reference's
+schema (examples/config_example_map.yaml there; waypoint_follow.py:248-250).
 """
 
 import argparse
@@ -21,6 +26,10 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default="",
+                   help="experiment yaml (reference config_example_map.yaml "
+                        "schema); supplies map, start pose, raceline and "
+                        "gains")
     p.add_argument("--map", type=str, default="",
                    help="map yaml path (default: generate a random track)")
     p.add_argument("--map-ext", type=str, default=".png")
@@ -47,7 +56,22 @@ def main():
     from f1tenth_gym_tpu.planning import PurePursuitPlanner
     from f1tenth_gym_tpu.utils.waypoints import load_waypoints
 
-    if args.map:
+    if args.config:
+        from f1tenth_gym_tpu.utils.experiment import (
+            load_config_waypoints,
+            load_experiment_config,
+            resolve_path,
+            start_pose,
+        )
+
+        conf = load_experiment_config(args.config)
+        map_path = resolve_path(conf, conf.map_path)
+        args.map_ext = getattr(conf, "map_ext", args.map_ext)
+        wpts = load_config_waypoints(conf)
+        start = start_pose(conf)
+        args.tlad = getattr(conf, "tlad", args.tlad)
+        args.vgain = getattr(conf, "vgain", args.vgain)
+    elif args.map:
         map_path = args.map
         wpts = load_waypoints(args.waypoints)
         start = np.array([[wpts[0, 0], wpts[0, 1], 0.0]])

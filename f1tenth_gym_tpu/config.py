@@ -63,7 +63,10 @@ class SimConfig:
     # with the reference (gather-bound on TPU); "segments" = XLA ray/polygon
     # intersection against extracted wall segments; "pallas" = hand-written
     # Mosaic kernel for the same ray/polygon math (fastest; accuracy within
-    # the contour-simplification tolerance, see ops/pallas_scan.py).
+    # the contour-simplification tolerance, see ops/pallas_scan.py);
+    # "auto" = "pallas" on a TPU backend when the map has a segment table,
+    # else "march". The default stays "march" because it is the bit-exact
+    # parity engine; the flagship F110Env surface defaults to "auto".
     scan_engine: str = "march"
     # Whether scans get additive Gaussian noise (reference: laser_models.py:450-452).
     scan_noise: bool = True

@@ -137,7 +137,16 @@ def sim_step(
         ],
         axis=-1,
     )  # (A, 3)
-    if cfg.scan_engine == "pallas":
+    engine = cfg.scan_engine
+    if engine == "auto":
+        # resolved at trace time: the fast kernel on TPU when the map has a
+        # segment table, else the bit-exact reference marching engine
+        engine = (
+            "pallas"
+            if jax.default_backend() == "tpu" and map_data.seg_table is not None
+            else "march"
+        )
+    if engine == "pallas":
         if map_data.seg_table is None:
             raise ValueError(
                 "scan_engine='pallas' needs MapData.seg_table — load the map "
@@ -152,7 +161,7 @@ def sim_step(
             tile_ngroups=map_data.tile_ngroups,
             tile_meta=map_data.tile_meta,
         )  # (A, B)
-    elif cfg.scan_engine == "segments":
+    elif engine == "segments":
         if map_data.segments is None:
             raise ValueError(
                 "scan_engine='segments' needs MapData.segments — load the map "

@@ -55,6 +55,9 @@ class F110Env:
         seed, map, map_ext, params, num_agents, timestep, ego_idx,
         integrator, lidar_dist, model, num_beams, scan_noise, scan_engine,
         dtype
+
+    scan_engine defaults to "auto": the Pallas kernel on TPU backends, the
+    bit-exact reference marching engine elsewhere (see SimConfig).
     """
 
     metadata = {"render.modes": ["human", "human_fast", "rgb_array"]}
@@ -72,7 +75,7 @@ class F110Env:
         model = kwargs.get("model", MODEL_ST)
         num_beams = kwargs.get("num_beams", 1080)
         scan_noise = kwargs.get("scan_noise", True)
-        scan_engine = kwargs.get("scan_engine", "march")
+        scan_engine = kwargs.get("scan_engine", "auto")
         dtype = kwargs.get("dtype", "float32")
 
         if self.map_name is None:
@@ -109,7 +112,7 @@ class F110Env:
         )
         self.map_data = load_map(
             self.map_name, self.map_ext, dtype=jdtype,
-            extract_segments=(scan_engine in ("segments", "pallas")),
+            extract_segments=self._wants_segments(),
         )
 
         self._reset_fn = jax.jit(
@@ -130,6 +133,14 @@ class F110Env:
         self.current_time = 0.0
 
     # ------------------------------------------------------------- helpers
+    def _wants_segments(self) -> bool:
+        """Whether the configured scan engine needs wall segments extracted
+        ("auto" resolves to the pallas kernel only on a TPU backend)."""
+        e = self.cfg.scan_engine
+        if e == "auto":
+            return jax.default_backend() == "tpu"
+        return e in ("segments", "pallas")
+
     def _host_obs(self, obs: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
         out = {k: np.asarray(v) for k, v in obs.items()}
         out["ego_idx"] = int(out["ego_idx"])
@@ -176,7 +187,7 @@ class F110Env:
         self.map_ext = map_ext
         self.map_data = load_map(
             map_path, map_ext, dtype=self.cfg.jnp_dtype,
-            extract_segments=(self.cfg.scan_engine in ("segments", "pallas")),
+            extract_segments=self._wants_segments(),
         )
         if self.renderer is not None:
             self.renderer.update_map(map_path, map_ext)

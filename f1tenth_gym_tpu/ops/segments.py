@@ -46,17 +46,10 @@ def _extract_segments_native(
         return None
     wall = np.ascontiguousarray((bitmap <= 0).astype(np.uint8))
     h, w = wall.shape
+    # on overflow the library returns -(segments_written + 1024), NOT the
+    # total needed — keep doubling the buffer until the trace fits
     max_segs = 4 * (h + w) + 65536
-    out = np.empty((max_segs, 4), np.float64)
-    n = lib.extract_wall_segments(
-        wall.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int(h), ctypes.c_int(w),
-        ctypes.c_double(simplify_tol_cells),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        ctypes.c_int(max_segs),
-    )
-    if n < 0:
-        max_segs = -n + 4096
+    while True:
         out = np.empty((max_segs, 4), np.float64)
         n = lib.extract_wall_segments(
             wall.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -65,6 +58,9 @@ def _extract_segments_native(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             ctypes.c_int(max_segs),
         )
+        if n >= 0 or max_segs > 64 * (h * w + 1):
+            break
+        max_segs *= 4
     if n <= 0:
         return None
     segs = out[:n]

@@ -60,7 +60,7 @@ def rollout(
             if collect else (jnp.sum(reward), jnp.sum(done))
         return (states, key, obs), out
 
-    # bootstrap obs from a zero-action step? No: use current scans in state.
+    # the initial observation comes from the scans already in the state
     obs0 = {
         "scans": states.scans,
         "poses_x": states.x[..., 0],

@@ -169,7 +169,12 @@ def test_checkpoint_roundtrip_simstate(ring_env, tmp_path):
     for _ in range(3):
         s, o, *_ = step(s, jnp.asarray([[0.1, 2.0], [0.0, 1.0]], jnp.float64))
     path = save_pytree(str(tmp_path / "ckpt"), s)
-    s2 = load_pytree(path)
+    s2 = load_pytree(path, target=s)  # safe form: no unpickling
+    # the no-target form requires an explicit trusted-input opt-in
+    with pytest.raises(ValueError):
+        load_pytree(path)
+    s3 = load_pytree(path, allow_pickle=True)
+    np.testing.assert_array_equal(np.asarray(s3.x), np.asarray(s2.x))
     # resumed rollout is bit-identical to the uninterrupted one
     a = jnp.asarray([[0.05, 2.0], [0.0, 1.5]], jnp.float64)
     s_cont, o_cont, *_ = step(s, a)
@@ -214,3 +219,62 @@ def test_throughput_floor_batched_step(ring_env):
     # even on CPU the batched engine must beat the reference's single-core
     # full-step rate
     assert rate > 500.0, f"batched step rate {rate:.0f} env-steps/s"
+
+
+def test_scan_noise_statistics(ring_env):
+    """Statistical equivalence of the jax scan noise with the reference's
+    rng.normal(0, 0.01, num_beams) (laser_models.py:450-452): zero mean,
+    sigma = 0.01, independence across beams and steps — plus the
+    shared-seed quirk (every agent gets the SAME noise vector each step,
+    base_classes.py:118-120: one class-level rng seed for all cars)."""
+    reset, step, poses = ring_env
+    # noise = scans(noise on) - scans(noise off) at identical states: run
+    # the same env twice from the same key with zero actions (stationary)
+    from f1tenth_gym_tpu import make_env_fns
+    from f1tenth_gym_tpu.tracks.synthetic import ring_map_data
+
+    m = ring_map_data(size=256, radius=4.0, dtype=jnp.float64)
+    params = VehicleParams.create(dtype=jnp.float64)
+    tables = make_scan_tables(num_beams=108, dtype=jnp.float64)
+    cfg_on = SimConfig(num_agents=2, num_beams=108, dtype="float64")
+    cfg_off = SimConfig(num_agents=2, num_beams=108, dtype="float64",
+                        scan_noise=False)
+    reset_on, step_on = make_env_fns(params, m, tables, cfg_on, 0.01)
+    reset_off, step_off = make_env_fns(params, m, tables, cfg_off, 0.01)
+
+    # cars on OPPOSITE sides of the ring: the walls always occlude the
+    # opponent, so the noisy-minus-clean difference is exactly the noise
+    # (the opponent ray-cast would otherwise overwrite blocked beams)
+    far_poses = jnp.asarray([[4.0, 0.0, 1.5708], [-4.0, 0.0, -1.5708]],
+                            dtype=jnp.float64)
+    key = jax.random.PRNGKey(7)
+    s1, o1, *_ = reset_on(far_poses, key)
+    s2, o2, *_ = reset_off(far_poses, key)
+    actions = jnp.zeros((2, 2), dtype=jnp.float64)
+    noises = []
+    for _ in range(256):
+        s1, o1, *_ = step_on(s1, actions)
+        s2, o2, *_ = step_off(s2, actions)
+        noises.append(np.asarray(o1["scans"]) - np.asarray(o2["scans"]))
+    noise = np.stack(noises)  # (T, A, B)
+
+    # shared-agent quirk: identical noise vector across agents each step
+    # (recovered via (scan+noise)-scan, so allow 1-ulp rounding residue
+    # from the different per-agent scan magnitudes)
+    np.testing.assert_allclose(noise[:, 0], noise[:, 1], atol=1e-12, rtol=0)
+
+    n = noise[:, 0, :]  # (T, B)
+    flat = n.ravel()
+    sigma = 0.01
+    N = flat.size
+    # mean: 0 within 5 standard errors; sigma: within 3% (chi 1-sigma ~0.4%)
+    assert abs(flat.mean()) < 5 * sigma / np.sqrt(N), flat.mean()
+    assert abs(flat.std() / sigma - 1.0) < 0.03, flat.std()
+    # normality of tails: |noise| < 6 sigma everywhere at N~27k samples
+    assert np.abs(flat).max() < 6 * sigma
+    # independence across beams: neighboring-beam correlation ~ 0
+    c_beam = np.corrcoef(n[:, :-1].ravel(), n[:, 1:].ravel())[0, 1]
+    assert abs(c_beam) < 0.05, c_beam
+    # independence across steps: step-lag-1 correlation ~ 0
+    c_step = np.corrcoef(n[:-1].ravel(), n[1:].ravel())[0, 1]
+    assert abs(c_step) < 0.05, c_step
