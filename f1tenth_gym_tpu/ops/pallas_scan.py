@@ -119,8 +119,8 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, seg_ref,
-                 out_ref, acc, dirb):
+def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, nb_ref,
+                 seg_ref, out_ref, acc, dirb):
     """One program: EA scans of R*128 beams against its segment groups.
 
     bid_ref (n_prog,) i32 SMEM (scalar-prefetch): per-program table block —
@@ -129,20 +129,31 @@ def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, seg_ref,
     prefetch-indexed block mechanism measured zero overhead on v5e.
     ng_ref (n_prog,) i32 SMEM: per-program segment-group count (dynamic
     fori_loop trip count — culled tables sweep only their own groups).
-    orig_ref (1,EA,4) f32 SMEM rows [ox, oy, ti0, angle_inc_bins];
+    orig_ref (1,EA,8) f32 SMEM rows
+    [ox, oy, ti0, angle_inc_bins, cos(ti0*binrad), sin(ti0*binrad), 0, 0];
+    nb_ref (RG*2*8, 128) f32 VMEM: the scan-independent beam-fan tables
+    cos(n*beta) / sin(n*beta) for beam index n (beta = angle increment in
+    radians), one cos + one sin (8,128) tile per rowgroup;
     seg_ref (1,Kmax,8) f32 VMEM (per-program block, double-buffered DMA);
     out (EA,R,128) f32; acc scratch (EA*R*8, 128) f32;
     dirb scratch (EA*ceil(R/8)*2*8, 128) f32 — beam dirs COMPUTED IN-KERNEL
-    from the theta-LUT bin index (ti0 + beam*inc mod theta_dis, exactly the
-    reference discretization of laser_models.py:164-184), stored
-    unreplicated (8 distinct beam rows per tile). Computing directions here
-    removes the XLA-side trig/pad/stack preamble and its ~75 MB/step of HBM
-    traffic.
+    WITHOUT transcendentals (round 2: the stock cos/sin dominated the
+    kernel's fixed cost). The theta-LUT discretization
+    idx = floor(ti0 + n*inc) mod theta_dis (laser_models.py:164-184) gives
+    angle == (ti0 + n*inc)*binrad - g (mod 2pi) with
+    g = (frac + k)*binrad < 2*binrad ~ 0.0063 rad, so
+    cos(idx*binrad) = cos(a + n*b)*cos(g) + sin(a + n*b)*sin(g) where the
+    affine part comes from per-scan scalars x the shared cos/sin(n*beta)
+    tables (angle addition) and cos(g) = 1 - g^2/2, sin(g) = g are EXACT to
+    f32 at this magnitude (next terms < 5e-8). Directions match direct
+    trig to ~2 ulp. Stored unreplicated (8 distinct beam rows per tile);
+    the inner loop slices (1,128) rows and sublane-broadcasts them against
+    the (8,128) segment splats (cheap, unlike lane broadcasts).
     """
     from jax.experimental import pallas as pl
 
     zero = jnp.float32(0.0)
-    td = jnp.float32(theta_dis)
+    one = jnp.float32(1.0)
     inv_td = jnp.float32(1.0 / theta_dis)
     bin_to_rad = jnp.float32(TWO_PI / (theta_dis - 1))
 
@@ -151,25 +162,26 @@ def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, seg_ref,
     row8 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0
                                     ).astype(jnp.float32)
 
-    # beam directions stored UNREPLICATED: one (8,128) cos tile + one sin
-    # tile per (scan, rowgroup) holding 8 DIFFERENT beam rows. The inner
-    # loop slices single (1,128) rows and lets the elementwise ops
-    # sublane-broadcast them against the (8,128) segment splats (cheap,
-    # unlike lane broadcasts) — this removes the 288 broadcast+store pairs
-    # per program the round-1 kernel spent on pre-replicating directions.
     RG = (R + GROUP - 1) // GROUP
     for ea in range(EA):
         ti0 = orig_ref[0, ea, 2]
         inc = orig_ref[0, ea, 3]
+        ca = orig_ref[0, ea, 4]
+        sa = orig_ref[0, ea, 5]
         for rg in range(RG):
             # beam index matrix for rows rg*8..rg*8+7: (8,128)
             beam = (row8 + jnp.float32(rg * GROUP)) * jnp.float32(LANES) + lane
-            t = ti0 + beam * inc
-            t = t - jnp.floor(t * inv_td) * td      # == jnp.mod(t, td)
-            ang = jnp.floor(t) * bin_to_rad         # t >= 0: floor == int cast
+            t = ti0 + beam * inc                     # unreduced LUT position
+            k = jnp.floor(t * inv_td)                # mod-theta_dis count
+            g = (t - jnp.floor(t) + k) * bin_to_rad  # frac + wrap correction
+            cg = one - jnp.float32(0.5) * g * g      # cos(g), exact in f32
+            cnb = nb_ref[rg * 2 * GROUP:rg * 2 * GROUP + GROUP, :]
+            snb = nb_ref[rg * 2 * GROUP + GROUP:(rg + 1) * 2 * GROUP, :]
+            cos_t = ca * cnb - sa * snb              # cos(a + n*b)
+            sin_t = sa * cnb + ca * snb
             d0 = (ea * RG + rg) * 2 * GROUP
-            dirb[d0:d0 + GROUP, :] = jnp.cos(ang)
-            dirb[d0 + GROUP:d0 + 2 * GROUP, :] = jnp.sin(ang)
+            dirb[d0:d0 + GROUP, :] = cos_t * cg + sin_t * g
+            dirb[d0 + GROUP:d0 + 2 * GROUP, :] = sin_t * cg - cos_t * g
 
     def process_group(g, first):
         # INVERSE-RANGE formulation (round 2, measured faster than the direct
@@ -280,15 +292,32 @@ def scan_pallas(
     fov = tables.fov.astype(jnp.float32)
     angle_inc = fov / (num_beams - 1)
 
-    # only the per-scan theta-LUT starting bin is computed here; the per-beam
-    # bin indices and trig happen in-kernel (laser_models.py:164-184
-    # discretization, identical float ops — no gathers, no 75 MB dirs array)
+    # only the per-scan theta-LUT starting bin (+ its cos/sin for the
+    # in-kernel angle addition) is computed here; per-beam bin indices and
+    # directions happen in-kernel (laser_models.py:164-184 discretization)
+    # without transcendentals — see _scan_kernel
     theta = p[:, 2]
     ti0 = theta_dis * (theta - fov / 2.0) / jnp.float32(TWO_PI)
     ti0 = jnp.mod(jnp.mod(ti0, theta_dis) + theta_dis, theta_dis)
-    inc = jnp.full_like(ti0,
-                        jnp.float32(theta_dis) * angle_inc / jnp.float32(TWO_PI))
-    scalars = jnp.stack([p[:, 0], p[:, 1], ti0, inc], axis=-1)  # (n_pad, 4)
+    bin_to_rad = jnp.float32(TWO_PI / (theta_dis - 1))
+    inc_val = jnp.float32(theta_dis) * angle_inc / jnp.float32(TWO_PI)
+    inc = jnp.full_like(ti0, inc_val)
+    alpha = ti0 * bin_to_rad
+    zeros = jnp.zeros_like(ti0)
+    scalars = jnp.stack(
+        [p[:, 0], p[:, 1], ti0, inc, jnp.cos(alpha), jnp.sin(alpha),
+         zeros, zeros], axis=-1)  # (n_pad, 8)
+
+    # scan-independent beam-fan tables cos(n*beta)/sin(n*beta), one cos +
+    # one sin (8,128) tile per rowgroup (n = beam index)
+    RG = (R + GROUP - 1) // GROUP
+    n_idx = jnp.arange(RG * GROUP * LANES, dtype=jnp.float32).reshape(
+        RG, GROUP, LANES)
+    beta = inc_val * bin_to_rad
+    nb = jnp.concatenate(
+        [jnp.concatenate([jnp.cos(n_idx[rg] * beta),
+                          jnp.sin(n_idx[rg] * beta)], axis=0)
+         for rg in range(RG)], axis=0)  # (RG*2*GROUP, LANES)
 
     grid = (n_pad // EA,)
     n_prog = grid[0]
@@ -328,22 +357,22 @@ def scan_pallas(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, EA, 4), lambda g, b, m: (g, 0, 0),
+            pl.BlockSpec((1, EA, 8), lambda g, b, m: (g, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b, m: (0, 0)),
             pl.BlockSpec((1, Kt, 8), lambda g, b, m: (b[g], 0, 0)),
         ],
         out_specs=pl.BlockSpec((EA, R, LANES), lambda g, b, m: (g, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((EA * R * GROUP, LANES), jnp.float32),
-            pltpu.VMEM((EA * ((R + GROUP - 1) // GROUP) * 2 * GROUP, LANES),
-                       jnp.float32)],
+            pltpu.VMEM((EA * RG * 2 * GROUP, LANES), jnp.float32)],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, R, LANES), jnp.float32),
         interpret=interpret,
-    )(bid, ng, scalars.reshape(n_prog, EA, 4), tabs)
+    )(bid, ng, scalars.reshape(n_prog, EA, 8), nb, tabs)
 
     out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
     # kernel emits inverse range (0 = no hit): exact division + clamp here
