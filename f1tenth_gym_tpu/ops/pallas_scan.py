@@ -242,13 +242,18 @@ def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, nb_ref,
     jax.lax.fori_loop(1, ng_ref[pl.program_id(0)],
                       lambda g, _: (process_group(g, False), 0)[1], 0)
 
-    for ea in range(EA):
-        for r in range(R):
-            a0 = (ea * R + r) * GROUP
-            # output is the max INVERSE range; range = 1/s + max-range clamp
-            # happen outside the kernel (exact f32 division, fused by XLA)
-            out_ref[ea, r:r + 1, :] = jnp.max(
-                acc[a0:a0 + GROUP, :], axis=0, keepdims=True)
+    # output is the max INVERSE range; range = 1/s + max-range clamp happen
+    # outside the kernel (exact f32 division, fused by XLA). The 8 reduced
+    # (1,128) rows of each chunk are assembled in registers and stored as
+    # ONE full (8,128) tile — per-row (1,128) stores are partial-sublane
+    # writes, which Mosaic lowers as read-modify-write.
+    for c in range(EA * R // GROUP):
+        rows = [
+            jnp.max(acc[(c * GROUP + i) * GROUP:(c * GROUP + i + 1) * GROUP, :],
+                    axis=0, keepdims=True)
+            for i in range(GROUP)
+        ]
+        out_ref[c * GROUP:(c + 1) * GROUP, :] = jnp.concatenate(rows, axis=0)
 
 
 @functools.partial(
@@ -362,7 +367,7 @@ def scan_pallas(
             pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b, m: (0, 0)),
             pl.BlockSpec((1, Kt, 8), lambda g, b, m: (b[g], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((EA, R, LANES), lambda g, b, m: (g, 0, 0)),
+        out_specs=pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0)),
         scratch_shapes=[
             pltpu.VMEM((EA * R * GROUP, LANES), jnp.float32),
             pltpu.VMEM((EA * RG * 2 * GROUP, LANES), jnp.float32)],
@@ -370,7 +375,7 @@ def scan_pallas(
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, R, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32),
         interpret=interpret,
     )(bid, ng, scalars.reshape(n_prog, EA, 8), nb, tabs)
 
