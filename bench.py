@@ -168,7 +168,9 @@ def main():
     if map_path:
         map_data = load_map(map_path, ".png", dtype=jnp.float32,
                             extract_segments=(engine in ("segments", "pallas")),
-                            tile_culling=(engine == "pallas"))
+                            tile_culling=(engine == "pallas"),
+                            culling_tile_size=float(
+                                os.environ.get("BENCH_CULL_TS", 2.0)))
         # racing workload: cars spawn ON the track corridor (the connected
         # free component of the reference start pose) in adjacent pairs,
         # matching the reference's start-grid convention

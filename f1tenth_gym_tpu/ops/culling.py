@@ -183,7 +183,7 @@ def split_segments(segs: np.ndarray, max_len: float) -> np.ndarray:
 def build_tile_tables(
     segments: np.ndarray,
     max_range: float,
-    tile_size: float = 2.0,
+    tile_size: float = 2.5,
     neighborhood: int = 1,
     split_len: float = None,
     max_bytes: int = 256 << 20,
@@ -273,14 +273,14 @@ def build_tile_tables(
 def build_tile_tables_cached(
     segments: np.ndarray,
     max_range: float,
-    tile_size: float = 2.0,
+    tile_size: float = 2.5,
     neighborhood: int = 1,
     cache_dir: Optional[str] = None,
 ) -> TileTables:
     """build_tile_tables with an npz disk cache.
 
-    The umbra sweep is O(tiles x K^2) host work (~10 s on the reference
-    example map at tile_size=2); per-map results are immutable, so they are
+    The umbra sweep is O(tiles x K^2) host work (~6 s on the reference
+    example map at tile_size=2.5); per-map results are immutable, so they are
     keyed by a hash of (segments, parameters) and reused across processes.
     Set cache_dir=None for $F1TENTH_TPU_CACHE or ~/.cache/f1tenth_gym_tpu.
     """

@@ -50,7 +50,7 @@ def make_map_data(
     simplify_tol_cells: float = 1.5,
     tile_culling: bool = False,
     max_range: float = 30.0,
-    culling_tile_size: float = 2.0,
+    culling_tile_size: float = 2.5,
 ) -> MapData:
     """Occupancy bitmap (0 = obstacle) + metadata -> device MapData.
 
@@ -110,7 +110,7 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
              simplify_tol_cells: float = 1.5,
              tile_culling: bool = False,
              max_range: float = 30.0,
-             culling_tile_size: float = 2.0) -> MapData:
+             culling_tile_size: float = 2.5) -> MapData:
     """Load a ROS-style map yaml + image pair into device arrays.
 
     map_path: path to the .yaml (with or without extension);
