@@ -68,6 +68,31 @@ def _cross(ax, ay, bx, by):
     return ax * by - ay * bx
 
 
+def _blocked_native(segs, occ, corners, max_range, tile_size):
+    """C++ umbra sweep (native/visibility.cpp); None when unavailable."""
+    import ctypes
+
+    from f1tenth_gym_tpu.utils.native import load as _load_native
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "tile_blocked_mask"):
+        return None
+    segs = np.ascontiguousarray(segs, np.float64)
+    occ = np.ascontiguousarray(occ, np.float64)
+    corners = np.ascontiguousarray(corners, np.float64)
+    T, K, Kw = len(corners), len(segs), len(occ)
+    out = np.zeros((T, K), np.uint8)
+    lib.tile_blocked_mask(
+        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), ctypes.c_int(K),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), ctypes.c_int(Kw),
+        corners.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int(T), ctypes.c_double(max_range),
+        ctypes.c_double(tile_size * np.sqrt(2.0)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out.astype(bool)
+
+
 def tile_visibility(
     segs: np.ndarray,
     max_range: float,
@@ -123,8 +148,12 @@ def tile_visibility(
     vis = d - half_diag <= max_range  # (T, K)
 
     # --- umbra cull: blocked(T, S) = any W properly crossing all 8
-    # corner->endpoint sightlines. Loop over occluders W, vectorized over
-    # (tile, corner, segment, endpoint).
+    # corner->endpoint sightlines. Native C++ sweep when built (early-exit
+    # + range-pruned + OpenMP over tiles; minutes -> seconds on the
+    # K >= 700 venue maps), else the vectorized numpy loop over occluders.
+    blocked = _blocked_native(segs, occ, corners, max_range, tile_size)
+    if blocked is not None:
+        return vis & ~blocked, nx, ny, float(xmin), float(ymin)
     q = np.stack([a, b], axis=1)  # (K, 2, 2) endpoints
     p = corners  # (T, 4, 2)
     qp = q[None, None, :, :, :] - p[:, :, None, None, :]  # (T, 4, K, 2, 2)

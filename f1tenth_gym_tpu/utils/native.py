@@ -27,14 +27,17 @@ def _build() -> bool:
     srcs = sorted(glob.glob(os.path.join(_NATIVE_DIR, "*.cpp")))
     if not srcs:
         return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO_PATH, *srcs],
-            check=True, capture_output=True, timeout=180,
-        )
-        return True
-    except Exception:
-        return False
+    for flags in (["-fopenmp"], []):  # openmp when available, else serial
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", *flags, "-o", _SO_PATH,
+                 *srcs],
+                check=True, capture_output=True, timeout=180,
+            )
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _needs_rebuild() -> bool:

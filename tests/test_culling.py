@@ -149,3 +149,27 @@ def test_build_deterministic():
     b = build_tile_tables(segs, 30.0, tile_size=1.0)
     assert np.array_equal(a.tables, b.tables)
     assert np.array_equal(a.ngroups, b.ngroups)
+
+
+def test_native_umbra_matches_numpy():
+    """The C++ umbra sweep (native/visibility.cpp) and the numpy reference
+    implement the same strict predicates — masks must agree exactly."""
+    from f1tenth_gym_tpu.ops import culling
+
+    rng = np.random.default_rng(9)
+    segs = np.concatenate([
+        np.array([[0.0, 0.0, 12.0, 0.0], [12.0, 0.0, 12.0, 12.0],
+                  [12.0, 12.0, 0.0, 12.0], [0.0, 12.0, 0.0, 0.0]]),
+        rng.uniform(1.0, 11.0, (30, 4)),  # random interior clutter
+    ])
+    bbox = (0.0, 0.0, 12.0, 12.0)
+    vis_native, *_ = culling.tile_visibility(segs, 30.0, 2.0, bbox)
+    orig = culling._blocked_native
+    try:
+        culling._blocked_native = lambda *a, **k: None
+        vis_numpy, *_ = culling.tile_visibility(segs, 30.0, 2.0, bbox)
+    finally:
+        culling._blocked_native = orig
+    if orig(segs, segs, np.zeros((1, 4, 2)), 30.0, 2.0) is None:
+        pytest.skip("native library unavailable")
+    assert np.array_equal(vis_native, vis_numpy)
