@@ -22,6 +22,7 @@ from f1tenth_gym_tpu.maps import map_path
 from f1tenth_gym_tpu.parallel import (
     batch_reset,
     make_autoreset_step,
+    sort_envs_for_locality,
     uniform_pose_sampler,
 )
 
@@ -40,14 +41,17 @@ def main():
     params = VehicleParams.create(dtype=jnp.float32)
     tables = make_scan_tables(num_beams=1080, dtype=jnp.float32)
     m = load_map(map_path(args.map), ".png", dtype=jnp.float32,
-                 extract_segments=True)
+                 extract_segments=True,
+                 tile_culling=(args.engine == "pallas"))
 
-    sampler = uniform_pose_sampler(m, clearance=0.8)
+    # racing spawn: adjacent start-grid groups facing down the corridor
+    sampler = uniform_pose_sampler(m, clearance=0.8, grouped=True,
+                                   align_theta=True)
     poses = sampler(jax.random.PRNGKey(7), (args.envs, args.agents))
     keys = jax.random.split(jax.random.PRNGKey(0), args.envs)
     states, *_ = batch_reset(poses, keys, params, m, tables, cfg, 0.01)
     astep = make_autoreset_step(params, m, tables, cfg, 0.01,
-                                pose_sampler=sampler)
+                                reset_to_start=True)
 
     @jax.jit
     def policy_step(s, k):
@@ -62,10 +66,12 @@ def main():
         return s, k, jnp.sum(done)
 
     s, k, d = policy_step(states, jax.random.PRNGKey(1))
+    s = sort_envs_for_locality(s)  # keep scan programs tile-homogeneous
     jax.block_until_ready(s.x)
     t0 = time.time()
-    resets = 0
-    for _ in range(args.steps):
+    for i in range(args.steps):
+        if i % 32 == 0:
+            s = sort_envs_for_locality(s)
         s, k, d = policy_step(s, k)
     jax.block_until_ready(s.x)
     dt = time.time() - t0

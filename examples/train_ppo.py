@@ -44,7 +44,8 @@ def main():
     params = VehicleParams.create(dtype=jnp.float32)
     tables = make_scan_tables(num_beams=args.beams, dtype=jnp.float32)
     m = load_map(map_path(args.map), ".png", dtype=jnp.float32,
-                 extract_segments=(args.engine in ("segments", "pallas")))
+                 extract_segments=(args.engine in ("segments", "pallas")),
+                 tile_culling=(args.engine == "pallas"))
 
     n_dev = len(jax.devices())
     mesh = make_mesh(num_env_shards=n_dev, num_model_shards=1)

@@ -33,7 +33,9 @@ class ScanSimulator2D:
         num_beams, fov, eps, theta_dis, max_range, std_dev, engine
     engine: 'march' (distance-field marching, bit-compatible with the
     reference), 'segments' (XLA ray/polygon), or 'pallas' (Mosaic kernel,
-    fastest on TPU).
+    fastest on TPU). tile_culling=True builds the exact per-tile
+    visibility tables for the pallas engine (ops/culling.py) — worthwhile
+    for large scan batches of spatially-clustered poses.
     """
 
     def __init__(
@@ -46,6 +48,7 @@ class ScanSimulator2D:
         std_dev: float = DEFAULT_SCAN_STD,
         engine: str = "march",
         dtype=jnp.float32,
+        tile_culling: bool = False,
     ):
         self.num_beams = int(num_beams)
         self.fov = float(fov)
@@ -55,6 +58,7 @@ class ScanSimulator2D:
         self.std_dev = float(std_dev)
         self.engine = engine
         self.dtype = dtype
+        self.tile_culling = bool(tile_culling)
         self.tables = make_scan_tables(
             num_beams=self.num_beams, fov=self.fov, theta_dis=self.theta_dis,
             max_range=self.max_range, eps=self.eps, scan_std=self.std_dev,
@@ -70,6 +74,8 @@ class ScanSimulator2D:
         return self.set_map_data(load_map(
             map_path, map_ext, dtype=self.dtype,
             extract_segments=(self.engine in ("segments", "pallas")),
+            tile_culling=(self.tile_culling and self.engine == "pallas"),
+            max_range=self.max_range,
         ))
 
     def set_map_data(self, map_data) -> bool:
@@ -116,7 +122,9 @@ class ScanSimulator2D:
             return scan_pallas(
                 poses, m.seg_table, self.tables, self.num_beams,
                 self.theta_dis,
-                interpret=(jax.default_backend() != "tpu"))
+                interpret=(jax.default_backend() != "tpu"),
+                tile_tables=m.tile_tables, tile_ngroups=m.tile_ngroups,
+                tile_meta=m.tile_meta)
         if self.engine == "segments":
             from f1tenth_gym_tpu.ops.segments import get_scan_segments
 
