@@ -188,3 +188,69 @@ def test_rollout_scan(ring, small):
     assert traj.reward.shape == (20, E)
     assert traj.obs["scans"].shape == (20, E, 2, 60)
     assert int(final.steps[0]) == 21  # 1 reset step + 20 rollout steps
+
+
+def test_sort_envs_for_locality_is_permutation():
+    """The locality sort must be a pure relabeling: same envs, new order,
+    spatially monotone keys."""
+    import numpy as np
+
+    from f1tenth_gym_tpu import SimConfig, VehicleParams, make_scan_tables
+    from f1tenth_gym_tpu.parallel import batch_reset, sort_envs_for_locality
+    from f1tenth_gym_tpu.tracks.synthetic import ring_map_data
+
+    m = ring_map_data(size=128, radius=2.0, dtype=jnp.float64)
+    params = VehicleParams.create(dtype=jnp.float64)
+    tables = make_scan_tables(num_beams=32, dtype=jnp.float64)
+    cfg = SimConfig(num_agents=2, num_beams=32, dtype="float64",
+                    scan_noise=False)
+    E = 32
+    rng = np.random.default_rng(0)
+    ang = rng.uniform(0, 2 * np.pi, E)
+    poses = np.stack([
+        np.stack([2.0 * np.cos(ang), 2.0 * np.sin(ang), ang + np.pi / 2], 1),
+        np.stack([2.0 * np.cos(ang), 2.0 * np.sin(ang), ang + np.pi / 2], 1),
+    ], 1)
+    keys = jax.random.split(jax.random.PRNGKey(0), E)
+    states, *_ = batch_reset(jnp.asarray(poses), keys, params, m, tables,
+                             cfg, 0.01)
+    s2 = sort_envs_for_locality(states)
+    # permutation: the multiset of env states is unchanged
+    a = np.asarray(states.x).reshape(E, -1)
+    b = np.asarray(s2.x).reshape(E, -1)
+    a_sorted = a[np.lexsort(a.T)]
+    b_sorted = b[np.lexsort(b.T)]
+    np.testing.assert_array_equal(a_sorted, b_sorted)
+    # keys/lap state permute consistently with x (same order applied to
+    # every leaf): check start poses still match their x rows
+    np.testing.assert_array_equal(np.asarray(s2.x[:, :, 0]),
+                                  np.asarray(s2.start_xs))
+
+
+def test_pose_sampler_grouped_aligned_component():
+    """grouped: agents land 0.8-2.0 m from agent 0 and share a heading;
+    component_seed: every sample stays on the seeded free component."""
+    import numpy as np
+    from scipy import ndimage
+
+    from f1tenth_gym_tpu import load_map
+    from f1tenth_gym_tpu.maps import map_path
+    from f1tenth_gym_tpu.parallel import uniform_pose_sampler
+
+    m = load_map(map_path("example_map"), ".png", dtype=jnp.float64)
+    s = uniform_pose_sampler(m, clearance=0.6, component_seed=(0.7, 0.0),
+                             grouped=True, align_theta=True)
+    p = np.asarray(s(jax.random.PRNGKey(3), (256, 2)))
+    d = np.hypot(*(p[:, 0, :2] - p[:, 1, :2]).T)
+    assert d.min() >= 0.79 and d.max() <= 2.01, (d.min(), d.max())
+    # same racing direction within each pair
+    assert (np.cos(p[:, 0, 2] - p[:, 1, 2]) > 0.0).all()
+    # all samples on the component of (0.7, 0.0)
+    dt = np.asarray(m.dt)
+    res = float(m.resolution)
+    lab, _ = ndimage.label(dt > 0.6)
+    want = lab[int((0.0 - float(m.orig_y)) / res),
+               int((0.7 - float(m.orig_x)) / res)]
+    rows = ((p[..., 1].ravel() - float(m.orig_y)) / res).astype(int)
+    cols = ((p[..., 0].ravel() - float(m.orig_x)) / res).astype(int)
+    assert (lab[rows, cols] == want).all()
