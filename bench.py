@@ -170,7 +170,7 @@ def main():
                             extract_segments=(engine in ("segments", "pallas")),
                             tile_culling=(engine == "pallas"),
                             culling_tile_size=float(
-                                os.environ.get("BENCH_CULL_TS", 2.0)))
+                                os.environ.get("BENCH_CULL_TS", 2.5)))
         # racing workload: cars spawn ON the track corridor (the connected
         # free component of the reference start pose) in adjacent pairs,
         # matching the reference's start-grid convention
