@@ -1,5 +1,6 @@
 """Renderer (headless), lap counting, multihost helpers, Integrator shim."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -148,3 +149,34 @@ def test_gymnasium_env_checker_clean():
         warnings.simplefilter("error")
         check_env(env, skip_render_check=True)
     env.close()
+
+
+def test_experiment_config_channel(tmp_path):
+    """The reference's experiment-yaml mechanism (config_example_map.yaml ->
+    Namespace; waypoint csv column indices honored; paths resolve against
+    the yaml's directory)."""
+    from f1tenth_gym_tpu.utils.experiment import (
+        load_config_waypoints,
+        load_experiment_config,
+        resolve_path,
+        start_pose,
+    )
+
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "config_example_map.yaml")
+    conf = load_experiment_config(cfg_path)
+    assert conf.run_name == "map_wide" and conf.seed == 12345
+    mp = resolve_path(conf, conf.map_path)
+    assert os.path.exists(mp + conf.map_ext)
+    wpts = load_config_waypoints(conf)
+    assert wpts.shape[1] == 3 and wpts.shape[0] > 500
+    sp = start_pose(conf)
+    assert sp.shape == (1, 3) and abs(sp[0, 0] - 0.7) < 1e-9
+    # the start pose sits on free space of the configured map
+    from f1tenth_gym_tpu import load_map
+    from f1tenth_gym_tpu.ops.lidar import dt_lookup
+
+    m = load_map(mp, conf.map_ext, dtype=jnp.float64)
+    d = float(dt_lookup(jnp.asarray(sp[0, 0]), jnp.asarray(sp[0, 1]), m))
+    assert d > 0.3
