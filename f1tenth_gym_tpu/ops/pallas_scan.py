@@ -163,7 +163,8 @@ def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, nb_ref,
                                     ).astype(jnp.float32)
 
     RG = (R + GROUP - 1) // GROUP
-    for ea in range(EA):
+
+    def dirs_for(ea):
         ti0 = orig_ref[0, ea, 2]
         inc = orig_ref[0, ea, 3]
         ca = orig_ref[0, ea, 4]
@@ -236,6 +237,11 @@ def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, nb_ref,
                     acc[a0:a0 + GROUP, :] = jnp.maximum(
                         acc[a0:a0 + GROUP, :], sc)
 
+    # (software-pipelining dirs_for(ea+1) through the peeled group-0 sweep
+    # was measured SLOWER — 2.46 vs 2.09 ms at ng=1 — the scheduler gains
+    # nothing and register pressure grows; keep the phases separate)
+    for ea in range(EA):
+        dirs_for(ea)
     # ngroups >= 1 always (ops/culling.py keeps one padding group even for
     # all-wall tiles), so group 0 can be peeled unconditionally
     process_group(0, True)
