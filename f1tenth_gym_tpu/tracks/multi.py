@@ -1,0 +1,149 @@
+"""Multi-track worlds: many tracks in ONE map for domain randomization.
+
+The reference randomizes tracks by generating map files and restarting the
+process per track (unittest/random_trackgen.py + docs). TPU-native
+constraint: one compiled program wants ONE map raster and ONE wall-segment
+set. Solution: compose M generated tracks spatially into a single world —
+a grid of tracks in one bitmap, one segment set, one `MapData`. Each
+track's closed outer wall occludes everything beyond it, so scans inside
+track k are EXACTLY the scans of track k's standalone map (tested), and
+the per-tile visibility culling (ops/culling.py) automatically keeps each
+env's LiDAR sweep local to its own track even though the global segment
+count is M times larger. Envs assigned to different tracks then train in
+one batch — per-env track domain randomization with zero kernel changes.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+
+class TrackInfo(NamedTuple):
+    """Per-track placement inside a composed multi-track world."""
+
+    index: int
+    waypoints: np.ndarray   # (N, 3) [x, y, v] racing line, world frame
+    start_pose: np.ndarray  # (3,) first waypoint + tangent heading
+    bbox: Tuple[float, float, float, float]  # world-frame x0, y0, x1, y1
+
+
+def multi_track_map_data(
+    n_tracks: int,
+    seed: int = 0,
+    track_width: float = 3.2,
+    spacing: float = 6.0,
+    resolution: float = 0.0625,
+    dtype=None,
+    extract_segments: bool = True,
+    tile_culling: bool = True,
+    **gen_kwargs,
+):
+    """Generate n_tracks random tracks and compose them into one MapData.
+
+    Returns (map_data, [TrackInfo, ...]). gen_kwargs forward to
+    tracks.trackgen.generate_centerline (e.g. n_checkpoints, radius).
+    """
+    import jax.numpy as jnp
+
+    from f1tenth_gym_tpu.tracks.trackgen import (
+        _curvature, generate_centerline, rasterize_track, speed_profile,
+    )
+    from f1tenth_gym_tpu.utils.map_loader import make_map_data
+
+    rasters = []
+    centers = []
+    for k in range(n_tracks):
+        rng = np.random.default_rng(seed + k)
+        center = generate_centerline(rng, track_width=track_width,
+                                     **gen_kwargs)
+        bitmap, res, origin = rasterize_track(center, track_width,
+                                              resolution=resolution)
+        rasters.append((bitmap, origin))
+        centers.append(center)
+
+    # uniform grid cells sized for the largest track raster
+    cell_h = max(b.shape[0] for b, _ in rasters)
+    cell_w = max(b.shape[1] for b, _ in rasters)
+    pad = int(round(spacing / resolution))
+    cell_h += pad
+    cell_w += pad
+    g = int(np.ceil(np.sqrt(n_tracks)))
+    world = np.full((g * cell_h, g * cell_w), 255.0)
+
+    infos: List[TrackInfo] = []
+    for k, ((bitmap, origin), center) in enumerate(zip(rasters, centers)):
+        gi, gj = divmod(k, g)
+        r0 = gi * cell_h + (cell_h - bitmap.shape[0]) // 2
+        c0 = gj * cell_w + (cell_w - bitmap.shape[1]) // 2
+        world[r0:r0 + bitmap.shape[0], c0:c0 + bitmap.shape[1]] = np.minimum(
+            world[r0:r0 + bitmap.shape[0], c0:c0 + bitmap.shape[1]], bitmap)
+        # world-frame transform for this track: its local origin lands at
+        # the paste position (world origin is (0, 0, 0))
+        off = np.array([c0 * resolution - origin[0],
+                        r0 * resolution - origin[1]])
+        wpts_xy = center + off
+        _, kappa, _ = _curvature(center)
+        v = speed_profile(kappa)
+        wpts = np.concatenate([wpts_xy, v[:, None]], axis=1)
+        d0 = wpts_xy[1] - wpts_xy[0]
+        start = np.array([wpts_xy[0, 0], wpts_xy[0, 1],
+                          np.arctan2(d0[1], d0[0])])
+        infos.append(TrackInfo(
+            index=k, waypoints=wpts, start_pose=start,
+            bbox=(c0 * resolution, r0 * resolution,
+                  (c0 + bitmap.shape[1]) * resolution,
+                  (r0 + bitmap.shape[0]) * resolution),
+        ))
+
+    md = make_map_data(
+        world, resolution, (0.0, 0.0, 0.0),
+        dtype=dtype if dtype is not None else jnp.float32,
+        extract_segments=extract_segments, tile_culling=tile_culling,
+    )
+    return md, infos
+
+
+def multi_track_pose_sampler(infos: List[TrackInfo],
+                             agent_gap: float = 1.2,
+                             theta_jitter: float = 0.15):
+    """In-graph start-pose sampler over a multi-track world.
+
+    Env e races on track e % n_tracks (static assignment, so the batch is
+    track-sorted by construction — exactly what the locality-based culling
+    wants). Each env's agents spawn as a start grid ON the racing line:
+    agent j sits `agent_gap` meters behind agent 0 along the centerline,
+    facing along it. Returns sample(key, (E, A)) -> (E, A, 3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = len(infos)
+    n_wp = min(len(i.waypoints) for i in infos)
+    wp = jnp.asarray(np.stack([i.waypoints[:n_wp, :2] for i in infos]))
+    # arc length per waypoint step (uniformly resampled centerlines)
+    seglen = np.stack([
+        np.linalg.norm(np.diff(i.waypoints[:n_wp, :2], axis=0), axis=1).mean()
+        for i in infos])
+    back = np.maximum(1, np.round(agent_gap / seglen).astype(np.int32))
+    back = jnp.asarray(back)  # (n,) waypoint steps per agent_gap
+
+    def sample(key: jax.Array, shape: Tuple[int, ...]):
+        E, A = (shape + (1,))[:2] if len(shape) >= 2 else (shape[0], 1)
+        k1, k2 = jax.random.split(key)
+        track = jnp.arange(E) % n
+        idx0 = jax.random.randint(k1, (E,), 0, n_wp)
+        offs = jnp.arange(A) * back[track][:, None]          # (E, A)
+        idx = jnp.mod(idx0[:, None] - offs, n_wp)            # (E, A)
+        nxt = jnp.mod(idx + 1, n_wp)
+        p = wp[track[:, None], idx]                          # (E, A, 2)
+        q = wp[track[:, None], nxt]
+        theta = jnp.arctan2(q[..., 1] - p[..., 1], q[..., 0] - p[..., 0])
+        theta = theta + jax.random.uniform(
+            k2, theta.shape, minval=-theta_jitter, maxval=theta_jitter,
+            dtype=theta.dtype)
+        return jnp.concatenate(
+            [p, jnp.mod(theta, 2 * np.pi)[..., None]], axis=-1)
+
+    return sample
