@@ -2,8 +2,8 @@
 
 The reference randomizes tracks by writing map files and restarting
 (unittest/random_trackgen.py); here M generated tracks compose into ONE
-world map (tracks/multi.py), envs are statically assigned round-robin to
-tracks, and a single compiled program steps — or trains a policy on — all
+world map (tracks/multi.py), envs are statically assigned in contiguous
+blocks to tracks, and a single compiled program steps — or trains a policy on — all
 tracks at once. The per-tile visibility culling keeps each env's LiDAR
 sweep local to its own track, so the M-times-larger global segment set
 costs almost nothing.
@@ -47,7 +47,8 @@ def main():
     from f1tenth_gym_tpu import SimConfig, VehicleParams, make_scan_tables
     from f1tenth_gym_tpu.parallel import batch_reset, make_autoreset_step
     from f1tenth_gym_tpu.tracks.multi import (
-        multi_track_map_data, multi_track_pose_sampler,
+        multi_track_locality_sort, multi_track_map_data,
+        multi_track_pose_sampler,
     )
 
     t0 = time.time()
@@ -67,6 +68,8 @@ def main():
     states, *_ = batch_reset(poses, keys, params, m, tables, cfg, 0.01)
     astep = make_autoreset_step(params, m, tables, cfg, 0.01,
                                 reset_to_start=True)
+    # arc-position locality sort: consecutive envs share a culling window
+    sort_fn = multi_track_locality_sort(m, infos)
 
     if args.train:
         from f1tenth_gym_tpu.parallel.ppo import PPO, PPOConfig
@@ -98,21 +101,28 @@ def main():
         return s, jnp.sum(d)
 
     s, d = fstep(states)
+    s = sort_fn(s)  # scans of a program must share a culling window
     _ = float(jnp.sum(s.x))
     t0 = time.time()
-    for _ in range(args.steps):
+    for i in range(args.steps):
+        if i % 32 == 0:
+            s = sort_fn(s)
         s, d = fstep(s)
     _ = float(jnp.sum(s.x))
     dt = time.time() - t0
     rate = args.envs * args.steps / dt
-    # progress per track: mean distance from start grid
+    # progress per track: mean distance from start grid (track identity by
+    # position — the locality sort relabels env order)
     px = np.asarray(s.x[:, 0, 0])
     py = np.asarray(s.x[:, 0, 1])
     sx = np.asarray(s.start_xs[:, 0])
     sy = np.asarray(s.start_ys[:, 0])
     dist = np.hypot(px - sx, py - sy)
-    tr = np.arange(args.envs) % args.tracks
-    per_track = [dist[tr == k].mean() for k in range(args.tracks)]
+    per_track = []
+    for info in infos:
+        x0, y0, x1, y1 = info.bbox
+        sel = (sx >= x0) & (sx <= x1) & (sy >= y0) & (sy <= y1)
+        per_track.append(dist[sel].mean() if sel.any() else float("nan"))
     print(f"{args.envs} envs x {args.steps} steps over {args.tracks} tracks "
           f"in {dt:.2f}s -> {rate:,.0f} env-steps/s; dones(last)={int(d)}")
     print("# mean displacement from start grid per track: "

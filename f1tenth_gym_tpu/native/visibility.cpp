@@ -77,6 +77,21 @@ void tile_blocked_mask(const double* segs, int K, const double* occ, int Kw,
     for (int s = 0; s < K; ++s) {
       const double qx[2] = {segs[4 * s], segs[4 * s + 2]};
       const double qy[2] = {segs[4 * s + 1], segs[4 * s + 3]};
+      // targets beyond max_range of the tile are removed by the caller's
+      // range mask anyway — skip their (expensive) umbra tests. On
+      // multi-track worlds this is most of the pair matrix.
+      {
+        double ex = qx[1] - qx[0], ey = qy[1] - qy[0];
+        double l2 = ex * ex + ey * ey;
+        double apx = cx - qx[0], apy = cy - qy[0];
+        double u = l2 > 1e-30 ? (apx * ex + apy * ey) / l2 : 0.0;
+        u = u < 0.0 ? 0.0 : (u > 1.0 ? 1.0 : u);
+        double dx = apx - u * ex, dy = apy - u * ey;
+        if (dx * dx + dy * dy > prune2) {
+          blocked_out[(size_t)t * K + s] = 0;
+          continue;
+        }
+      }
       unsigned char hit = 0;
       for (int wi : local) {
         const Seg& w = walls[wi];

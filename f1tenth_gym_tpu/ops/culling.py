@@ -49,13 +49,16 @@ _EPS = 1e-6
 class TileTables(NamedTuple):
     """Packed per-tile segment tables for the Pallas kernel.
 
-    tables[0] is the full segment table (the always-correct fallback);
-    tables[1 + j*nx + i] serves tiles whose scans all lie within the
-    `neighborhood`-tile Chebyshev ball of tile (i, j).
+    tables[j*nx + i] serves tiles whose scans all lie within the
+    `neighborhood`-tile Chebyshev ball of tile (i, j). The full fallback
+    table is NOT stored here (the kernel carries it as its own input);
+    ngroups keeps the round-1 indexing convention: ngroups[0] is the FULL
+    set's group count, ngroups[1 + j*nx + i] the tile's (-1 = sentinel:
+    use the full table).
     """
 
-    tables: np.ndarray     # (n_tiles + 1, Kmax, 8) f32 kernel rows
-    ngroups: np.ndarray    # (n_tiles + 1,) i32 segment-group counts
+    tables: np.ndarray     # (n_tiles, Kmax_tile, 8) f32 kernel rows
+    ngroups: np.ndarray    # (n_tiles + 1,) i32 group counts (see above)
     x0: float              # grid origin (world frame)
     y0: float
     tile_size: float
@@ -228,9 +231,14 @@ def build_tile_tables(
     table is
     the UNION of the visible sets over its (2r+1)x(2r+1) neighborhood, so
     one table serves a whole 16-scan kernel program whose scans have
-    drifted up to r tiles apart. Block 0 is the compact unsplit full set —
-    the always-correct fallback for heterogeneous programs. Grows
-    tile_size if the packed tables would exceed max_bytes.
+    drifted up to r tiles apart. The full set is NOT stored here — the
+    kernel keeps it as its own resident input (pallas_scan segf_ref), so
+    the per-tile array pads only to the largest TILE's row count (on
+    multi-map worlds ~6x less memory than embedding the full set as a
+    block). ngroups[0] is the full set's group count; a tile whose culled
+    set is no smaller than the full set stores the sentinel -1 and is
+    served the full table. Grows tile_size if the packed tables would
+    exceed max_bytes.
     """
     from f1tenth_gym_tpu.ops.pallas_scan import GROUP, build_seg_table
 
@@ -242,6 +250,7 @@ def build_tile_tables(
     # walls enclose free space, so the segment bbox covers every free pose
     bbox = (xs.min() - 1e-6, ys.min() - 1e-6, xs.max() + 1e-6, ys.max() + 1e-6)
 
+    full = build_seg_table(orig)  # (Kfull_pad, 8)
     while True:
         vis, nx, ny, x0, y0 = tile_visibility(segs, max_range, tile_size,
                                               bbox, occluders=orig)
@@ -254,24 +263,18 @@ def build_tile_tables(
         for dj in range(2 * r + 1):
             for di in range(2 * r + 1):
                 u |= vp[dj:dj + ny, di:di + nx]
-        counts = u.sum(-1)
+        counts = np.minimum(u.sum(-1), len(full))  # no-gain tiles cap out
         kmax = int(counts.max())
-        kmax_pad = max(
-            ((kmax + GROUP - 1) // GROUP) * GROUP,
-            ((len(orig) + GROUP - 1) // GROUP) * GROUP,
-        )
-        n_tables = nx * ny + 1
-        if n_tables * kmax_pad * 32 <= max_bytes:
+        kmax_pad = max(GROUP, ((kmax + GROUP - 1) // GROUP) * GROUP)
+        if nx * ny * kmax_pad * 32 <= max_bytes:
             break
         tile_size *= 1.5  # coarser grid: fewer tables, bigger each
 
-    full = build_seg_table(orig)  # (Kfull_pad, 8)
-    tables = np.zeros((n_tables, kmax_pad, 8), np.float32)
+    tables = np.zeros((nx * ny, kmax_pad, 8), np.float32)
     # empty-group padding rows: never-valid (see build_seg_table)
     tables[:, :, 2] = 1.0
     tables[:, :, 5] = 10.0
-    tables[0, : len(full)] = full
-    ngroups = np.zeros(n_tables, np.int32)
+    ngroups = np.zeros(nx * ny + 1, np.int32)
     ngroups[0] = len(full) // GROUP
     flat = u.reshape(-1, u.shape[-1])
     for t in range(nx * ny):
@@ -283,9 +286,11 @@ def build_tile_tables(
             continue
         tab = build_seg_table(sel)
         if len(tab) >= len(full):
-            # culling bought nothing here — serve the full table instead
-            tab = full
-        tables[t + 1, : len(tab)] = tab
+            # culling bought nothing here — the kernel serves the full
+            # table for this tile (sentinel; no redundant copy stored)
+            ngroups[t + 1] = -1
+            continue
+        tables[t, : len(tab)] = tab
         ngroups[t + 1] = len(tab) // GROUP
     return TileTables(
         tables=tables,
@@ -314,7 +319,7 @@ def build_tile_tables_cached(
     Set cache_dir=None for $F1TENTH_TPU_CACHE or ~/.cache/f1tenth_gym_tpu.
     """
     segs = np.ascontiguousarray(np.asarray(segments, np.float64))
-    h = hashlib.sha1(b"tile-tables-v2")  # bump on algorithm changes
+    h = hashlib.sha1(b"tile-tables-v3")  # bump on algorithm changes
     h.update(segs.tobytes())
     h.update(np.float64([max_range, tile_size, neighborhood]).tobytes())
     key = h.hexdigest()[:16]

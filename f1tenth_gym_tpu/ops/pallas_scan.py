@@ -120,13 +120,16 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
 
 
 def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, nb_ref,
-                 seg_ref, out_ref, acc, dirb):
+                 segf_ref, segt_ref, out_ref, acc, dirb):
     """One program: EA scans of R*128 beams against its segment groups.
 
-    bid_ref (n_prog,) i32 SMEM (scalar-prefetch): per-program table block —
-    selects which per-tile culled table this program's seg_ref block DMAs
-    from (ops/culling.py); block 0 is the full fallback table. The
-    prefetch-indexed block mechanism measured zero overhead on v5e.
+    bid_ref (n_prog,) i32 SMEM (scalar-prefetch): per-program table choice —
+    0 sweeps the FULL fallback table segf_ref (its own input, resident:
+    constant block index), b > 0 sweeps per-tile culled table b-1 via
+    segt_ref's prefetch-indexed block (ops/culling.py). Keeping the full
+    table out of the per-tile array means the tile tables are padded only
+    to the LARGEST TILE's row count, not the full set's — on multi-map
+    worlds that is ~6x less memory and lets the tile grid stay fine.
     ng_ref (n_prog,) i32 SMEM: per-program segment-group count (dynamic
     fori_loop trip count — culled tables sweep only their own groups).
     orig_ref (1,EA,8) f32 SMEM rows
@@ -134,7 +137,7 @@ def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, nb_ref,
     nb_ref (RG*2*8, 128) f32 VMEM: the scan-independent beam-fan tables
     cos(n*beta) / sin(n*beta) for beam index n (beta = angle increment in
     radians), one cos + one sin (8,128) tile per rowgroup;
-    seg_ref (1,Kmax,8) f32 VMEM (per-program block, double-buffered DMA);
+    segf_ref (1,Kfull,8), segt_ref (1,Kt,8) f32 VMEM (double-buffered DMA);
     out (EA,R,128) f32; acc scratch (EA*R*8, 128) f32;
     dirb scratch (EA*ceil(R/8)*2*8, 128) f32 — beam dirs COMPUTED IN-KERNEL
     WITHOUT transcendentals (round 2: the stock cos/sin dominated the
@@ -184,7 +187,7 @@ def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, nb_ref,
             dirb[d0:d0 + GROUP, :] = cos_t * cg + sin_t * g
             dirb[d0 + GROUP:d0 + 2 * GROUP, :] = sin_t * cg - cos_t * g
 
-    def process_group(g, first):
+    def process_group(seg_ref, g, first):
         # INVERSE-RANGE formulation (round 2, measured faster than the direct
         # t = num/den form): accumulate s = 1/t = den/num with MAX instead of
         # t with MIN. 1/num depends only on (segment, scan-origin), so the
@@ -242,11 +245,26 @@ def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, nb_ref,
     # nothing and register pressure grows; keep the phases separate)
     for ea in range(EA):
         dirs_for(ea)
+
     # ngroups >= 1 always (ops/culling.py keeps one padding group even for
-    # all-wall tiles), so group 0 can be peeled unconditionally
-    process_group(0, True)
-    jax.lax.fori_loop(1, ng_ref[pl.program_id(0)],
-                      lambda g, _: (process_group(g, False), 0)[1], 0)
+    # all-wall tiles), so group 0 can be peeled unconditionally. The
+    # full-vs-tile table choice predicates ONCE per program — negligible
+    # next to the sweep it selects.
+    bid = bid_ref[pl.program_id(0)]
+    ng = ng_ref[pl.program_id(0)]
+
+    def sweep(seg_ref):
+        process_group(seg_ref, 0, True)
+        jax.lax.fori_loop(
+            1, ng, lambda g, _: (process_group(seg_ref, g, False), 0)[1], 0)
+
+    @pl.when(bid == 0)
+    def _():
+        sweep(segf_ref)
+
+    @pl.when(bid != 0)
+    def _():
+        sweep(segt_ref)
 
     # output is the max INVERSE range; range = 1/s + max-range clamp happen
     # outside the kernel (exact f32 division, fused by XLA). The 8 reduced
@@ -332,11 +350,15 @@ def scan_pallas(
 
     grid = (n_pad // EA,)
     n_prog = grid[0]
+    Kf = seg_table.shape[0]
+    full = seg_table[None]  # (1, Kf, 8)
     if tile_tables is None:
-        K = seg_table.shape[0]
-        tabs = seg_table[None]  # (1, K, 8)
+        # never-matching padding rows (see build_seg_table): the tile input
+        # is a tiny dummy block, every program sweeps the full table
+        tabs = jnp.zeros((1, GROUP, 8), jnp.float32
+                         ).at[:, :, 2].set(1.0).at[:, :, 5].set(10.0)
         bid = jnp.zeros((n_prog,), jnp.int32)
-        ng = jnp.full((n_prog,), K // GROUP, jnp.int32)
+        ng = jnp.full((n_prog,), Kf // GROUP, jnp.int32)
     else:
         tabs = tile_tables
         x0, y0, inv_ts = tile_meta[0], tile_meta[1], tile_meta[2]
@@ -360,6 +382,10 @@ def scan_pallas(
         )
         bid = jnp.where(ok, 1 + cj * nx + ci, 0)
         ng = tile_ngroups[bid].astype(jnp.int32)
+        # sentinel -1: culling bought nothing for that tile — use the full
+        # table (ops/culling.py stores no redundant copy)
+        bid = jnp.where(ng < 0, 0, bid)
+        ng = jnp.where(ng < 0, Kf // GROUP, ng)
 
     Kt = tabs.shape[1]
     kern = functools.partial(_scan_kernel, R, theta_dis, num_beams)
@@ -371,7 +397,9 @@ def scan_pallas(
             pl.BlockSpec((1, EA, 8), lambda g, b, m: (g, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b, m: (0, 0)),
-            pl.BlockSpec((1, Kt, 8), lambda g, b, m: (b[g], 0, 0)),
+            pl.BlockSpec((1, Kf, 8), lambda g, b, m: (0, 0, 0)),
+            pl.BlockSpec((1, Kt, 8),
+                         lambda g, b, m: (jnp.maximum(b[g] - 1, 0), 0, 0)),
         ],
         out_specs=pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0)),
         scratch_shapes=[
@@ -383,7 +411,7 @@ def scan_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32),
         interpret=interpret,
-    )(bid, ng, scalars.reshape(n_prog, EA, 8), nb, tabs)
+    )(bid, ng, scalars.reshape(n_prog, EA, 8), nb, full, tabs)
 
     out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
     # kernel emits inverse range (0 = no hit): exact division + clamp here

@@ -193,7 +193,14 @@ def sort_envs_for_locality(states: SimState) -> SimState:
     """
     x = states.x[:, 0, 0]
     y = states.x[:, 0, 1]
-    key = jnp.floor(y / 2.0) * 65536.0 + jnp.floor(x / 2.0)
+    # SQUARE hierarchical blocks (6 m primary, 1.5 m secondary), not thin
+    # y-bands: on sparse worlds (e.g. multi-track grids) a thin band spans
+    # many far-apart regions and every kernel program straddles them
+    by = jnp.floor(y / 6.0)
+    bx = jnp.floor(x / 6.0)
+    fy = jnp.mod(jnp.floor(y / 1.5), 4.0)
+    fx = jnp.mod(jnp.floor(x / 1.5), 4.0)
+    key = ((by * 4096.0 + bx) * 4.0 + fy) * 4.0 + fx
     order = jnp.argsort(key)
     return jax.tree.map(lambda l: jnp.take(l, order, axis=0), states)
 

@@ -38,6 +38,7 @@ def multi_track_map_data(
     dtype=None,
     extract_segments: bool = True,
     tile_culling: bool = True,
+    culling_neighborhood: int = 2,
     **gen_kwargs,
 ):
     """Generate n_tracks random tracks and compose them into one MapData.
@@ -97,22 +98,28 @@ def multi_track_map_data(
                   (r0 + bitmap.shape[0]) * resolution),
         ))
 
+    # neighborhood 2 by default: env density per track is low, so a
+    # 16-scan kernel program needs a wider provably-covered window than on
+    # a single dense map (see parallel.vector.sort_envs_for_locality)
     md = make_map_data(
         world, resolution, (0.0, 0.0, 0.0),
         dtype=dtype if dtype is not None else jnp.float32,
         extract_segments=extract_segments, tile_culling=tile_culling,
+        culling_neighborhood=culling_neighborhood,
     )
     return md, infos
 
 
 def multi_track_pose_sampler(infos: List[TrackInfo],
-                             agent_gap: float = 1.2,
+                             agent_gap: float = 1.5,
                              theta_jitter: float = 0.15):
     """In-graph start-pose sampler over a multi-track world.
 
-    Env e races on track e % n_tracks (static assignment, so the batch is
-    track-sorted by construction — exactly what the locality-based culling
-    wants). Each env's agents spawn as a start grid ON the racing line:
+    Env e races on track e * n_tracks // E (CONTIGUOUS blocks of the batch
+    per track, so 16-scan kernel programs stay single-track — exactly what
+    the locality-based culling wants; round-robin assignment would make
+    every program span many tracks and fall back to the full segment
+    table). Each env's agents spawn as a start grid ON the racing line:
     agent j sits `agent_gap` meters behind agent 0 along the centerline,
     facing along it. Returns sample(key, (E, A)) -> (E, A, 3).
     """
@@ -132,7 +139,7 @@ def multi_track_pose_sampler(infos: List[TrackInfo],
     def sample(key: jax.Array, shape: Tuple[int, ...]):
         E, A = (shape + (1,))[:2] if len(shape) >= 2 else (shape[0], 1)
         k1, k2 = jax.random.split(key)
-        track = jnp.arange(E) % n
+        track = (jnp.arange(E) * n) // E
         idx0 = jax.random.randint(k1, (E,), 0, n_wp)
         offs = jnp.arange(A) * back[track][:, None]          # (E, A)
         idx = jnp.mod(idx0[:, None] - offs, n_wp)            # (E, A)
@@ -147,3 +154,43 @@ def multi_track_pose_sampler(infos: List[TrackInfo],
             [p, jnp.mod(theta, 2 * np.pi)[..., None]], axis=-1)
 
     return sample
+
+
+def multi_track_locality_sort(map_data, infos: List[TrackInfo]):
+    """Build the locality sort for a multi-track env batch.
+
+    The generic parallel.vector.sort_envs_for_locality uses square spatial
+    blocks — fine on one dense map, but a sparse multi-track batch rarely
+    packs 16 scans into one culling window that way. Here the natural 1D
+    coordinate is ARC POSITION: sort envs by (track cell, nearest
+    centerline waypoint). Consecutive envs then sit within a few meters
+    along their track and every 16-scan kernel program resolves to a
+    culled tile table (measured 100% on a 16-track world vs 54-77% for
+    square-block sorting). Returns a jitted states -> states relabeling.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = len(infos)
+    g = int(np.ceil(np.sqrt(n)))
+    res = float(map_data.resolution)
+    h, w = map_data.dt.shape
+    cell_w = w * res / g
+    cell_h = h * res / g
+    n_wp = min(len(i.waypoints) for i in infos)
+    wp = jnp.asarray(np.stack([i.waypoints[:n_wp, :2] for i in infos]),
+                     jnp.float32)
+
+    @jax.jit
+    def sort(states):
+        x = states.x[:, 0, 0].astype(jnp.float32)
+        y = states.x[:, 0, 1].astype(jnp.float32)
+        cell = jnp.clip(
+            (jnp.floor(y / cell_h) * g + jnp.floor(x / cell_w)).astype(
+                jnp.int32), 0, n - 1)
+        pts = jnp.stack([x, y], -1)[:, None, :]
+        sidx = jnp.argmin(((wp[cell] - pts) ** 2).sum(-1), axis=-1)
+        order = jnp.argsort(cell * (2 ** 20) + sidx)
+        return jax.tree.map(lambda l: jnp.take(l, order, axis=0), states)
+
+    return sort

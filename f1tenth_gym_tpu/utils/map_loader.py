@@ -51,6 +51,7 @@ def make_map_data(
     tile_culling: bool = False,
     max_range: float = 30.0,
     culling_tile_size: float = 2.5,
+    culling_neighborhood: int = 1,
 ) -> MapData:
     """Occupancy bitmap (0 = obstacle) + metadata -> device MapData.
 
@@ -84,6 +85,7 @@ def make_map_data(
             tt = build_tile_tables_cached(
                 np.asarray(segments), max_range,
                 tile_size=culling_tile_size,
+                neighborhood=culling_neighborhood,
             )
             tile_tables = jnp.asarray(tt.tables)
             tile_ngroups = jnp.asarray(tt.ngroups)
@@ -110,7 +112,8 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
              simplify_tol_cells: float = 1.5,
              tile_culling: bool = False,
              max_range: float = 30.0,
-             culling_tile_size: float = 2.5) -> MapData:
+             culling_tile_size: float = 2.5,
+             culling_neighborhood: int = 1) -> MapData:
     """Load a ROS-style map yaml + image pair into device arrays.
 
     map_path: path to the .yaml (with or without extension);
@@ -125,4 +128,5 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
                          extract_segments=extract_segments,
                          simplify_tol_cells=simplify_tol_cells,
                          tile_culling=tile_culling, max_range=max_range,
-                         culling_tile_size=culling_tile_size)
+                         culling_tile_size=culling_tile_size,
+                         culling_neighborhood=culling_neighborhood)

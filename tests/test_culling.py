@@ -60,14 +60,18 @@ def culled_map():
 def test_tile_tables_shapes(culled_map):
     m = culled_map
     assert m.tile_tables is not None and m.tile_ngroups is not None
-    n_tables, kmax, eight = m.tile_tables.shape
+    n_tiles, kmax, eight = m.tile_tables.shape
     assert eight == 8 and kmax % GROUP == 0
     meta = np.asarray(m.tile_meta)
-    assert n_tables == int(meta[3]) * int(meta[4]) + 1
+    assert n_tiles == int(meta[3]) * int(meta[4])
     ng = np.asarray(m.tile_ngroups)
-    assert ng.min() >= 1 and ng.max() * GROUP <= kmax
+    assert len(ng) == n_tiles + 1 and ng[0] >= 1
+    # tile entries: -1 = full-table sentinel, else 1..kmax/8 groups
+    tiles = ng[1:]
+    real = tiles[tiles >= 0]
+    assert real.min() >= 1 and real.max() * GROUP <= kmax
     # culling must actually bite somewhere
-    assert ng[1:].min() < ng[0]
+    assert real.min() < ng[0]
 
 
 def test_culled_scan_bitwise_equals_full(culled_map):

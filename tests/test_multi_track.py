@@ -65,9 +65,9 @@ def test_sampler_spawns_on_track():
     d = np.asarray(dt_lookup(jnp.asarray(p[..., 0].ravel()),
                              jnp.asarray(p[..., 1].ravel()), md))
     assert d.min() > 0.5, d.min()
-    # every env inside its own track's bbox
+    # every env inside its own track's bbox (contiguous block assignment)
     for e in range(E):
-        x0, y0, x1, y1 = infos[e % N_TRACKS].bbox
+        x0, y0, x1, y1 = infos[(e * N_TRACKS) // E].bbox
         assert (p[e, :, 0] >= x0 - 1e-6).all() and (p[e, :, 0] <= x1).all()
         assert (p[e, :, 1] >= y0 - 1e-6).all() and (p[e, :, 1] <= y1).all()
     # agents form a non-overlapping start grid
