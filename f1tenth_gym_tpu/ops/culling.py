@@ -49,16 +49,17 @@ _EPS = 1e-6
 class TileTables(NamedTuple):
     """Packed per-tile segment tables for the Pallas kernel.
 
-    tables[j*nx + i] serves tiles whose scans all lie within the
-    `neighborhood`-tile Chebyshev ball of tile (i, j). The full fallback
-    table is NOT stored here (the kernel carries it as its own input);
-    ngroups keeps the round-1 indexing convention: ngroups[0] is the FULL
-    set's group count, ngroups[1 + j*nx + i] the tile's (-1 = sentinel:
-    use the full table).
+    tables[j*nx + i] serves programs whose scans all lie within the
+    `neighborhood`-tile Chebyshev ball of tile (i, j); tables[n_tiles +
+    j*nx + i] is the thinner r=0 table for programs entirely INSIDE tile
+    (i, j). The full fallback table is NOT stored here (the kernel
+    carries it as its own input); ngroups keeps the round-1 indexing
+    convention: ngroups[0] is the FULL set's group count, ngroups[1 + b]
+    block b's (-1 = sentinel: use the full table).
     """
 
-    tables: np.ndarray     # (n_tiles, Kmax_tile, 8) f32 kernel rows
-    ngroups: np.ndarray    # (n_tiles + 1,) i32 group counts (see above)
+    tables: np.ndarray     # (2*n_tiles, Kmax_tile, 8) f32 kernel rows
+    ngroups: np.ndarray    # (2*n_tiles + 1,) i32 group counts (see above)
     x0: float              # grid origin (world frame)
     y0: float
     tile_size: float
@@ -266,32 +267,40 @@ def build_tile_tables(
         counts = np.minimum(u.sum(-1), len(full))  # no-gain tiles cap out
         kmax = int(counts.max())
         kmax_pad = max(GROUP, ((kmax + GROUP - 1) // GROUP) * GROUP)
-        if nx * ny * kmax_pad * 32 <= max_bytes:
+        if 2 * nx * ny * kmax_pad * 32 <= max_bytes:
             break
         tile_size *= 1.5  # coarser grid: fewer tables, bigger each
 
-    tables = np.zeros((nx * ny, kmax_pad, 8), np.float32)
+    # DUAL-RADIUS pack: blocks [0, T) hold the r-neighborhood union tables,
+    # blocks [T, 2T) the r=0 single-tile tables (~35% thinner on corridor
+    # maps) — a program whose scans all sit in ONE tile sweeps the thin
+    # table, one that fits the (2r+1)-window sweeps the union, anything
+    # else falls back to the full set. Same kernel either way.
+    T = nx * ny
+    tables = np.zeros((2 * T, kmax_pad, 8), np.float32)
     # empty-group padding rows: never-valid (see build_seg_table)
     tables[:, :, 2] = 1.0
     tables[:, :, 5] = 10.0
-    ngroups = np.zeros(nx * ny + 1, np.int32)
+    ngroups = np.zeros(2 * T + 1, np.int32)
     ngroups[0] = len(full) // GROUP
-    flat = u.reshape(-1, u.shape[-1])
-    for t in range(nx * ny):
-        sel = segs[flat[t]]
-        if len(sel) == 0:
-            # a tile with nothing visible (deep inside a wall): keep one
-            # padding group so the kernel loop body stays non-degenerate
-            ngroups[t + 1] = 1
-            continue
-        tab = build_seg_table(sel)
-        if len(tab) >= len(full):
-            # culling bought nothing here — the kernel serves the full
-            # table for this tile (sentinel; no redundant copy stored)
-            ngroups[t + 1] = -1
-            continue
-        tables[t, : len(tab)] = tab
-        ngroups[t + 1] = len(tab) // GROUP
+    flat_u = u.reshape(-1, u.shape[-1])
+    flat_v = vis
+    for base, flat in ((0, flat_u), (T, flat_v)):
+        for t in range(T):
+            sel = segs[flat[t]]
+            if len(sel) == 0:
+                # a tile with nothing visible (deep inside a wall): keep one
+                # padding group so the kernel loop body stays non-degenerate
+                ngroups[1 + base + t] = 1
+                continue
+            tab = build_seg_table(sel)
+            if len(tab) >= len(full):
+                # culling bought nothing here — the kernel serves the full
+                # table for this tile (sentinel; no redundant copy stored)
+                ngroups[1 + base + t] = -1
+                continue
+            tables[base + t, : len(tab)] = tab
+            ngroups[1 + base + t] = len(tab) // GROUP
     return TileTables(
         tables=tables,
         ngroups=ngroups,
@@ -319,7 +328,7 @@ def build_tile_tables_cached(
     Set cache_dir=None for $F1TENTH_TPU_CACHE or ~/.cache/f1tenth_gym_tpu.
     """
     segs = np.ascontiguousarray(np.asarray(segments, np.float64))
-    h = hashlib.sha1(b"tile-tables-v3")  # bump on algorithm changes
+    h = hashlib.sha1(b"tile-tables-v4")  # bump on algorithm changes
     h.update(segs.tobytes())
     h.update(np.float64([max_range, tile_size, neighborhood]).tobytes())
     key = h.hexdigest()[:16]

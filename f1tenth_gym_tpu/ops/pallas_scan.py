@@ -372,20 +372,31 @@ def scan_pallas(
         ti_lo, ti_hi = tig.min(-1), tig.max(-1)
         tj_lo, tj_hi = tjg.min(-1), tjg.max(-1)
         # center tile of the program's bbox; table 1+cj*nx+ci provably
-        # covers every scan within Chebyshev radius r of (ci, cj)
+        # covers every scan within Chebyshev radius r of (ci, cj), and the
+        # thinner r=0 table 1+T+cj*nx+ci covers a program entirely INSIDE
+        # one tile (ops/culling.py dual-radius pack)
         ci = (ti_lo + ti_hi) // 2
         cj = (tj_lo + tj_hi) // 2
+        in_grid = (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
         ok = (
-            (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
+            in_grid
             & (ti_hi - ci <= rr) & (ci - ti_lo <= rr)
             & (tj_hi - cj <= rr) & (cj - tj_lo <= rr)
         )
-        bid = jnp.where(ok, 1 + cj * nx + ci, 0)
-        ng = tile_ngroups[bid].astype(jnp.int32)
-        # sentinel -1: culling bought nothing for that tile — use the full
-        # table (ops/culling.py stores no redundant copy)
-        bid = jnp.where(ng < 0, 0, bid)
-        ng = jnp.where(ng < 0, Kf // GROUP, ng)
+        one_tile = in_grid & (ti_hi == ti_lo) & (tj_hi == tj_lo)
+        T = tile_tables.shape[0] // 2
+        tidx = jnp.clip(cj * nx + ci, 0, T - 1)
+        ng_r1 = tile_ngroups[1 + tidx].astype(jnp.int32)
+        ng_r0 = tile_ngroups[1 + T + tidx].astype(jnp.int32)
+        # precedence: thin r=0 table when the program sits in one tile,
+        # else the r-neighborhood union, else the full set (sentinel -1 =
+        # that table would be no smaller than the full set)
+        use_r0 = one_tile & (ng_r0 > 0)
+        use_r1 = ok & (ng_r1 > 0) & ~use_r0
+        bid = jnp.where(use_r0, 1 + T + tidx,
+                        jnp.where(use_r1, 1 + tidx, 0))
+        ng = jnp.where(use_r0, ng_r0,
+                       jnp.where(use_r1, ng_r1, Kf // GROUP))
 
     Kt = tabs.shape[1]
     kern = functools.partial(_scan_kernel, R, theta_dis, num_beams)

@@ -60,12 +60,13 @@ def culled_map():
 def test_tile_tables_shapes(culled_map):
     m = culled_map
     assert m.tile_tables is not None and m.tile_ngroups is not None
-    n_tiles, kmax, eight = m.tile_tables.shape
+    n_blocks, kmax, eight = m.tile_tables.shape
     assert eight == 8 and kmax % GROUP == 0
     meta = np.asarray(m.tile_meta)
-    assert n_tiles == int(meta[3]) * int(meta[4])
+    # dual-radius pack: r-union tables then r=0 tables
+    assert n_blocks == 2 * int(meta[3]) * int(meta[4])
     ng = np.asarray(m.tile_ngroups)
-    assert len(ng) == n_tiles + 1 and ng[0] >= 1
+    assert len(ng) == n_blocks + 1 and ng[0] >= 1
     # tile entries: -1 = full-table sentinel, else 1..kmax/8 groups
     tiles = ng[1:]
     real = tiles[tiles >= 0]
