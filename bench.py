@@ -199,22 +199,68 @@ def main():
     # --- on-hardware correctness gate (runs before any timing): the pallas
     # engine must agree with the bit-exact reference marching engine on this
     # very chip, within the reference's own cross-engine bar of MSE < 2.0
-    # (unittest/scan_sim.py:342). A Mosaic lowering bug would fail here, so
-    # the recorded BENCH number implies hardware correctness, not just speed.
+    # (unittest/scan_sim.py:342), on the bench map AND the venue maps
+    # (berlin/stata_basement, culled tables on). A Mosaic lowering bug
+    # would fail here, so the recorded BENCH number implies hardware
+    # correctness, not just speed. Also spot-checks the iTTC kernel and the
+    # SAT collision path on-chip. Gate knob: BENCH_GATE_MAPS (comma list,
+    # "" to skip the extra maps).
     scan_mse = float("nan")
+    gate_mse = {}
     if engine == "pallas":
-        from f1tenth_gym_tpu.ops.lidar import get_scan
+        from f1tenth_gym_tpu.ops.lidar import check_ttc, get_scan
         from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas
 
-        check = poses[:32].reshape(-1, 3)
-        march = get_scan(check, map_data, tables, num_beams, cfg.theta_dis,
-                         max_iters=cfg.max_march_iters)
-        pal = scan_pallas(check, map_data.seg_table, tables, num_beams,
-                          cfg.theta_dis, tile_tables=map_data.tile_tables,
-                          tile_ngroups=map_data.tile_ngroups,
-                          tile_meta=map_data.tile_meta)
-        scan_mse = float(jnp.mean((march - pal) ** 2))
-        assert scan_mse < 2.0, f"pallas-vs-march scan MSE {scan_mse} >= 2.0"
+        def cross_engine_mse(md, check_poses):
+            march = get_scan(check_poses, md, tables, num_beams,
+                             cfg.theta_dis, max_iters=cfg.max_march_iters)
+            pal = scan_pallas(check_poses, md.seg_table, tables, num_beams,
+                              cfg.theta_dis, tile_tables=md.tile_tables,
+                              tile_ngroups=md.tile_ngroups,
+                              tile_meta=md.tile_meta,
+                              tile_tables4=md.tile_tables4,
+                              tile_ngroups4=md.tile_ngroups4)
+            return float(jnp.mean((march - pal) ** 2))
+
+        bench_map_name = os.path.splitext(os.path.basename(map_path))[0]
+        scan_mse = cross_engine_mse(map_data, poses[:32].reshape(-1, 3))
+        gate_mse[bench_map_name] = round(scan_mse, 4)
+        for name in filter(None, os.environ.get(
+                "BENCH_GATE_MAPS", "berlin,stata_basement").split(",")):
+            gm = load_map(bundled_map(name), ".png", dtype=jnp.float32,
+                          extract_segments=True, tile_culling=True)
+            gp = uniform_pose_sampler(gm, clearance=0.5)(
+                jax.random.PRNGKey(11), (32,))
+            gate_mse[name] = round(cross_engine_mse(gm, gp), 4)
+        for name, mse in gate_mse.items():
+            assert mse < 2.0, f"pallas-vs-march MSE {mse} >= 2.0 on {name}"
+
+        # iTTC kernel polarity on this chip (ops/lidar.py check_ttc): a
+        # wall 0.18 m out is ~0.015 m past the frontal body edge (side
+        # distance 0.165), i.e. 1.9 ms to impact at 8 m/s — under the 5 ms
+        # threshold -> hit; 25 m at 8 m/s -> clear
+        vel = jnp.full((2,), 8.0, jnp.float32)
+        hot = check_ttc(jnp.full((2, num_beams), 0.18, jnp.float32), vel,
+                        tables)
+        cold = check_ttc(jnp.full((2, num_beams), 25.0, jnp.float32), vel,
+                         tables)
+        assert bool(jnp.all(hot)) and not bool(jnp.any(cold)), \
+            f"iTTC gate: hot={hot} cold={cold}"
+
+        # SAT collision path on this chip (ops/collision.py): two cars on
+        # the same spot collide, two cars 5 m apart don't
+        from f1tenth_gym_tpu.ops import collision as col_ops
+
+        overlap = col_ops.get_vertices(
+            jnp.asarray([[0.0, 0.0, 0.0], [0.1, 0.0, 0.5]], jnp.float32),
+            params.length, params.width)
+        apart = col_ops.get_vertices(
+            jnp.asarray([[0.0, 0.0, 0.0], [5.0, 0.0, 0.5]], jnp.float32),
+            params.length, params.width)
+        c_hot, _ = col_ops.collision_multiple(overlap)
+        c_cold, _ = col_ops.collision_multiple(apart)
+        assert bool(jnp.all(c_hot > 0)) and not bool(jnp.any(c_cold > 0)), \
+            f"collision gate: overlap={c_hot} apart={c_cold}"
 
     # crashed envs restart on their OWN start grid (reference reset
     # semantics, f110_env.py:306) — also keeps the batch's spatial order
@@ -253,12 +299,20 @@ def main():
         s, _, reward, done, _ = astep(s, actions)
         return s, k, jnp.sum(done)
 
+    # locality sort keyed to the map's culling grid when available
+    sort_kw = {}
+    if engine == "pallas" and map_data.tile_meta is not None:
+        tm = np.asarray(map_data.tile_meta)
+        sort_kw = dict(tile_size=1.0 / float(tm[2]),
+                       origin=(float(tm[0]), float(tm[1])))
+    sort_period = int(os.environ.get("BENCH_SORT_PERIOD", 16))
+
     # warmup / compile (forced readback: block_until_ready can return early
     # on tunneled backends, so fence with a host transfer)
     t0 = time.time()
     s, k, d = fused_step(states, jax.random.PRNGKey(1))
     if engine == "pallas":
-        s = sort_envs_for_locality(s)  # compile the re-sort outside timing
+        s = sort_envs_for_locality(s, **sort_kw)  # compile outside timing
     _ = float(jnp.sum(s.x))
     compile_time = time.time() - t0
 
@@ -266,8 +320,8 @@ def main():
     # programs tile-homogeneous — part of the honest steady-state cost)
     t0 = time.time()
     for i in range(num_steps):
-        if engine == "pallas" and i % 32 == 0:
-            s = sort_envs_for_locality(s)
+        if engine == "pallas" and i % sort_period == 0:
+            s = sort_envs_for_locality(s, **sort_kw)
         s, k, d = fused_step(s, k)
     _ = float(jnp.sum(s.x))  # fence
     elapsed = time.time() - t0
@@ -280,6 +334,9 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_FULL_STEP_RATE, 2),
     }
+    if gate_mse:
+        result["scan_mse_by_map"] = gate_mse
+        result["ittc_collision_gate"] = "ok"
     print(json.dumps(result))
     print(
         f"# envs={num_envs} steps={num_steps} beams={num_beams} engine={engine} "

@@ -82,6 +82,19 @@ class SimConfig:
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
 
+    @property
+    def resolved_scan_engine(self) -> str:
+        """The engine "auto" resolves to on the current backend: the Pallas
+        kernel on TPU, else the bit-exact marching engine. Use this when
+        deciding whether a map needs segment extraction / tile culling
+        (core/simulator.py applies the same rule at trace time, with the
+        extra condition that the map actually carries a segment table)."""
+        import jax
+
+        if self.scan_engine != "auto":
+            return self.scan_engine
+        return "pallas" if jax.default_backend() == "tpu" else "march"
+
 
 # Default vehicle parameter dict — values from reference f110_env.py:130.
 DEFAULT_PARAMS = {

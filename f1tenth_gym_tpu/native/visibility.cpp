@@ -60,7 +60,38 @@ void tile_blocked_mask(const double* segs, int K, const double* occ, int Kw,
     const double cx = (c[0] + c[2] + c[4] + c[6]) * 0.25;
     const double cy = (c[1] + c[3] + c[5] + c[7]) * 0.25;
 
-    // occluders within range of this tile, longest first
+    // Pass 1 over targets: in-range flags (targets beyond max_range of the
+    // tile are removed by the caller's range mask anyway — skip their
+    // umbra tests; on multi-track worlds this is most of the pair matrix)
+    // and the tile's sightline reach. A blocker must CROSS some
+    // corner->endpoint sightline, i.e. contain a point of it, and every
+    // point of such a sightline lies within max(corner dist, endpoint
+    // dist) of the tile center — so the occluder prune radius must cover
+    // the farthest ENDPOINT of any in-range target (which can exceed
+    // max_range for a long wall whose near end is in range), not just
+    // max_range itself.
+    std::vector<unsigned char> in_range(K);
+    double reach = tile_diag;  // corners are within tile_diag of center
+    for (int s = 0; s < K; ++s) {
+      const double qx[2] = {segs[4 * s], segs[4 * s + 2]};
+      const double qy[2] = {segs[4 * s + 1], segs[4 * s + 3]};
+      double ex = qx[1] - qx[0], ey = qy[1] - qy[0];
+      double l2 = ex * ex + ey * ey;
+      double apx = cx - qx[0], apy = cy - qy[0];
+      double u = l2 > 1e-30 ? (apx * ex + apy * ey) / l2 : 0.0;
+      u = u < 0.0 ? 0.0 : (u > 1.0 ? 1.0 : u);
+      double dx = apx - u * ex, dy = apy - u * ey;
+      in_range[s] = (dx * dx + dy * dy <= prune2);
+      if (in_range[s]) {
+        for (int e = 0; e < 2; ++e) {
+          double d2 = (qx[e] - cx) * (qx[e] - cx) + (qy[e] - cy) * (qy[e] - cy);
+          if (d2 > reach * reach) reach = std::sqrt(d2);
+        }
+      }
+    }
+    const double oprune2 = (reach + 1e-6) * (reach + 1e-6);
+
+    // occluders within sightline reach of this tile, longest first
     std::vector<int> local;
     local.reserve(Kw);
     for (int oi = 0; oi < Kw; ++oi) {
@@ -71,26 +102,15 @@ void tile_blocked_mask(const double* segs, int K, const double* occ, int Kw,
       double u = (apx * w.ex + apy * w.ey) / w.len2;
       u = u < 0.0 ? 0.0 : (u > 1.0 ? 1.0 : u);
       double dx = apx - u * w.ex, dy = apy - u * w.ey;
-      if (dx * dx + dy * dy <= prune2) local.push_back(order[oi]);
+      if (dx * dx + dy * dy <= oprune2) local.push_back(order[oi]);
     }
 
     for (int s = 0; s < K; ++s) {
       const double qx[2] = {segs[4 * s], segs[4 * s + 2]};
       const double qy[2] = {segs[4 * s + 1], segs[4 * s + 3]};
-      // targets beyond max_range of the tile are removed by the caller's
-      // range mask anyway — skip their (expensive) umbra tests. On
-      // multi-track worlds this is most of the pair matrix.
-      {
-        double ex = qx[1] - qx[0], ey = qy[1] - qy[0];
-        double l2 = ex * ex + ey * ey;
-        double apx = cx - qx[0], apy = cy - qy[0];
-        double u = l2 > 1e-30 ? (apx * ex + apy * ey) / l2 : 0.0;
-        u = u < 0.0 ? 0.0 : (u > 1.0 ? 1.0 : u);
-        double dx = apx - u * ex, dy = apy - u * ey;
-        if (dx * dx + dy * dy > prune2) {
-          blocked_out[(size_t)t * K + s] = 0;
-          continue;
-        }
+      if (!in_range[s]) {
+        blocked_out[(size_t)t * K + s] = 0;
+        continue;
       }
       unsigned char hit = 0;
       for (int wi : local) {

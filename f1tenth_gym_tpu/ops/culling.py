@@ -47,15 +47,22 @@ _EPS = 1e-6
 
 
 class TileTables(NamedTuple):
-    """Packed per-tile segment tables for the Pallas kernel.
+    """Packed multi-window segment tables for the Pallas kernel.
 
-    tables[j*nx + i] serves programs whose scans all lie within the
-    `neighborhood`-tile Chebyshev ball of tile (i, j); tables[n_tiles +
-    j*nx + i] is the thinner r=0 table for programs entirely INSIDE tile
-    (i, j). The full fallback table is NOT stored here (the kernel
-    carries it as its own input); ngroups keeps the round-1 indexing
-    convention: ngroups[0] is the FULL set's group count, ngroups[1 + b]
-    block b's (-1 = sentinel: use the full table).
+    Three window sizes, all indexed by LOWER-LEFT tile (i, j) = t:
+    ``tables[t]`` is the 2x2-tile window union (covers programs whose
+    scans span <= 1 tile in each axis starting at (i, j));
+    ``tables[n_tiles + t]`` the single-tile (1x1) set; ``tables4[t]`` the
+    4x4 window union (spread <= 3 tiles). Programs pick the tightest
+    window that covers them, else the full set. Smaller windows are the
+    point: visibility from a 2x2 window of fine tiles is far thinner than
+    from the 3x3 coarse neighborhood it replaces. The full fallback table
+    is NOT stored here (the kernel carries it as its own input, and
+    tables4 is its own array so the wide 4x4 rows don't pad the fine
+    tables). ngroups keeps the round-1 indexing convention: ngroups[0] is
+    the FULL set's group count, ngroups[1 + b] block b's; ngroups4[t] is
+    tables4[t]'s. -1 = sentinel: that window culled nothing, use the
+    full table.
     """
 
     tables: np.ndarray     # (2*n_tiles, Kmax_tile, 8) f32 kernel rows
@@ -65,7 +72,9 @@ class TileTables(NamedTuple):
     tile_size: float
     nx: int                # grid dims
     ny: int
-    neighborhood: int      # Chebyshev radius each table provably covers
+    neighborhood: int      # kept for meta compat (max covered spread = 3)
+    tables4: np.ndarray = None   # (n_tiles, Kmax4, 8)
+    ngroups4: np.ndarray = None  # (n_tiles,) i32
 
 
 def _cross(ax, ay, bx, by):
@@ -115,23 +124,31 @@ def tile_visibility(
     out in an unculled table segment (each segment crosses a beam at most
     once, so the descent cannot revisit one).
     Returns (vis (n_tiles, K) bool in j-major tile order, nx, ny, x0, y0).
+
+    Tile squares are grown by ~2 mm on every side before the visibility
+    proofs, so the kernel's f32 tile assignment floor((x - x0) * inv_ts)
+    (ops/pallas_scan.py) may round a pose sitting exactly on a tile
+    boundary to either neighbor: both neighbors' grown squares contain the
+    pose, so whichever table is selected still provably covers it.
     """
     segs = np.asarray(segs, np.float64)
     occ = segs if occluders is None else np.asarray(occluders, np.float64)
     K = len(segs)
+    grow = 2e-3  # meters; >> f32 ulp of O(100 m) coordinates (~1e-5)
     xmin, ymin, xmax, ymax = bbox
     nx = max(1, int(np.ceil((xmax - xmin) / tile_size)))
     ny = max(1, int(np.ceil((ymax - ymin) / tile_size)))
     ti = np.arange(nx) * tile_size + xmin
     tj = np.arange(ny) * tile_size + ymin
     cx, cy = np.meshgrid(ti, tj)  # (ny, nx), j-major
-    # (T, 4, 2) tile corners
+    # (T, 4, 2) epsilon-grown tile corners
+    g, tg = grow, tile_size + grow
     corners = np.stack(
         [
-            np.stack([cx, cy], -1),
-            np.stack([cx + tile_size, cy], -1),
-            np.stack([cx + tile_size, cy + tile_size], -1),
-            np.stack([cx, cy + tile_size], -1),
+            np.stack([cx - g, cy - g], -1),
+            np.stack([cx + tg, cy - g], -1),
+            np.stack([cx + tg, cy + tg], -1),
+            np.stack([cx - g, cy + tg], -1),
         ],
         axis=2,
     ).reshape(-1, 4, 2)
@@ -148,14 +165,15 @@ def tile_visibility(
     u = np.clip((ap * e[None]).sum(-1) / len2[None], 0.0, 1.0)
     closest = a[None] + u[..., None] * e[None]
     d = np.hypot(*(center[:, None, :] - closest).transpose(2, 0, 1))
-    half_diag = tile_size * np.sqrt(2.0) / 2.0
+    half_diag = (tile_size + 2 * grow) * np.sqrt(2.0) / 2.0
     vis = d - half_diag <= max_range  # (T, K)
 
     # --- umbra cull: blocked(T, S) = any W properly crossing all 8
     # corner->endpoint sightlines. Native C++ sweep when built (early-exit
     # + range-pruned + OpenMP over tiles; minutes -> seconds on the
     # K >= 700 venue maps), else the vectorized numpy loop over occluders.
-    blocked = _blocked_native(segs, occ, corners, max_range, tile_size)
+    blocked = _blocked_native(segs, occ, corners, max_range,
+                              tile_size + 2 * grow)
     if blocked is not None:
         return vis & ~blocked, nx, ny, float(xmin), float(ymin)
     q = np.stack([a, b], axis=1)  # (K, 2, 2) endpoints
@@ -213,6 +231,19 @@ def split_segments(segs: np.ndarray, max_len: float) -> np.ndarray:
     return np.asarray(out)
 
 
+def _window_union(v: np.ndarray, w: int) -> np.ndarray:
+    """(ny, nx, K) per-tile masks -> per-LOWER-LEFT-tile union over the
+    w x w tile window [i, i+w) x [j, j+w), clamped at the grid edge."""
+    ny, nx, K = v.shape
+    vp = np.zeros((ny + w - 1, nx + w - 1, K), bool)
+    vp[:ny, :nx] = v
+    u = np.zeros_like(v)
+    for dj in range(w):
+        for di in range(w):
+            u |= vp[dj:dj + ny, di:di + nx]
+    return u
+
+
 def build_tile_tables(
     segments: np.ndarray,
     max_range: float,
@@ -221,25 +252,29 @@ def build_tile_tables(
     split_len: float = None,
     max_bytes: int = 256 << 20,
 ) -> TileTables:
-    """Build the packed per-tile kernel tables.
+    """Build the packed multi-window kernel tables.
 
     segments: (K, 4) wall segments (padding rows with coords >= 1e6 are
     dropped, matching build_seg_table). split_len (optional) splits targets
     into pieces of <= split_len so partially-occluded walls cull piecewise;
     occluders stay UNSPLIT (long walls block the most sightlines) —
     measured a net LOSS on the reference maps (visible walls inflate row
-    counts more than occluded ones shrink), so default off. Each tile's
-    table is
-    the UNION of the visible sets over its (2r+1)x(2r+1) neighborhood, so
-    one table serves a whole 16-scan kernel program whose scans have
-    drifted up to r tiles apart. The full set is NOT stored here — the
-    kernel keeps it as its own resident input (pallas_scan segf_ref), so
-    the per-tile array pads only to the largest TILE's row count (on
-    multi-map worlds ~6x less memory than embedding the full set as a
-    block). ngroups[0] is the full set's group count; a tile whose culled
-    set is no smaller than the full set stores the sentinel -1 and is
-    served the full table. Grows tile_size if the packed tables would
-    exceed max_bytes.
+    counts more than occluded ones shrink), so default off.
+
+    Three window sizes per lower-left tile: 1x1 (thinnest, programs inside
+    one tile), 2x2 (programs spanning <= 1 tile per axis — covers every
+    single-boundary straddle, unlike a center-indexed 3x3 at 2.25x the
+    area), and 4x4 (drifted programs). The full set is NOT stored here —
+    the kernel keeps it as its own resident input (pallas_scan segf_ref) —
+    and the 4x4 tables live in their own array so their larger row counts
+    don't pad the fine tables (on multi-map worlds this keeps memory ~6x
+    down and the grid fine). ngroups[0] is the full set's group count; a
+    window whose culled set is no smaller than the full set stores the
+    sentinel -1 and is served the full table. Grows tile_size if the
+    packed tables would exceed max_bytes.
+
+    neighborhood is kept in the meta for compatibility; coverage is now
+    fixed by the window sizes (max covered spread: 3 tiles).
     """
     from f1tenth_gym_tpu.ops.pallas_scan import GROUP, build_seg_table
 
@@ -255,52 +290,56 @@ def build_tile_tables(
     while True:
         vis, nx, ny, x0, y0 = tile_visibility(segs, max_range, tile_size,
                                               bbox, occluders=orig)
-        # union over the (2r+1)^2 neighborhood, j-major grid
         v = vis.reshape(ny, nx, -1)
-        r = neighborhood
-        vp = np.zeros((ny + 2 * r, nx + 2 * r, v.shape[-1]), bool)
-        vp[r:r + ny, r:r + nx] = v
-        u = np.zeros_like(v)
-        for dj in range(2 * r + 1):
-            for di in range(2 * r + 1):
-                u |= vp[dj:dj + ny, di:di + nx]
-        counts = np.minimum(u.sum(-1), len(full))  # no-gain tiles cap out
-        kmax = int(counts.max())
+        u2 = _window_union(v, 2)
+        u4 = _window_union(v, 4)
+        cap = len(full)
+        kmax = int(min(max(u2.sum(-1).max(), v.sum(-1).max()), cap))
+        kmax4 = int(min(u4.sum(-1).max(), cap))
         kmax_pad = max(GROUP, ((kmax + GROUP - 1) // GROUP) * GROUP)
-        if 2 * nx * ny * kmax_pad * 32 <= max_bytes:
+        kmax4_pad = max(GROUP, ((kmax4 + GROUP - 1) // GROUP) * GROUP)
+        if (2 * kmax_pad + kmax4_pad) * nx * ny * 32 <= max_bytes:
             break
         tile_size *= 1.5  # coarser grid: fewer tables, bigger each
 
-    # DUAL-RADIUS pack: blocks [0, T) hold the r-neighborhood union tables,
-    # blocks [T, 2T) the r=0 single-tile tables (~35% thinner on corridor
-    # maps) — a program whose scans all sit in ONE tile sweeps the thin
-    # table, one that fits the (2r+1)-window sweeps the union, anything
-    # else falls back to the full set. Same kernel either way.
     T = nx * ny
     tables = np.zeros((2 * T, kmax_pad, 8), np.float32)
+    tables4 = np.zeros((T, kmax4_pad, 8), np.float32)
     # empty-group padding rows: never-valid (see build_seg_table)
-    tables[:, :, 2] = 1.0
-    tables[:, :, 5] = 10.0
+    for arr in (tables, tables4):
+        arr[:, :, 2] = 1.0
+        arr[:, :, 5] = 10.0
     ngroups = np.zeros(2 * T + 1, np.int32)
+    ngroups4 = np.zeros(T, np.int32)
     ngroups[0] = len(full) // GROUP
-    flat_u = u.reshape(-1, u.shape[-1])
-    flat_v = vis
-    for base, flat in ((0, flat_u), (T, flat_v)):
-        for t in range(T):
-            sel = segs[flat[t]]
-            if len(sel) == 0:
-                # a tile with nothing visible (deep inside a wall): keep one
-                # padding group so the kernel loop body stays non-degenerate
-                ngroups[1 + base + t] = 1
-                continue
-            tab = build_seg_table(sel)
-            if len(tab) >= len(full):
-                # culling bought nothing here — the kernel serves the full
-                # table for this tile (sentinel; no redundant copy stored)
-                ngroups[1 + base + t] = -1
-                continue
-            tables[base + t, : len(tab)] = tab
-            ngroups[1 + base + t] = len(tab) // GROUP
+    flat2 = u2.reshape(T, -1)
+    flat1 = vis
+    flat4 = u4.reshape(T, -1)
+
+    def pack(flat_t, arr, out, t):
+        sel = segs[flat_t]
+        if len(sel) == 0:
+            # a window with nothing visible (deep inside a wall): keep one
+            # padding group so the kernel loop body stays non-degenerate
+            out[t] = 1
+            return
+        tab = build_seg_table(sel)
+        if len(tab) >= len(full):
+            # culling bought nothing here — the kernel serves the full
+            # table for this window (sentinel; no redundant copy stored)
+            out[t] = -1
+            return
+        arr[t, : len(tab)] = tab
+        out[t] = len(tab) // GROUP
+
+    ng1 = np.zeros(T, np.int32)
+    ng2 = np.zeros(T, np.int32)
+    for t in range(T):
+        pack(flat2[t], tables[:T], ng2, t)
+        pack(flat1[t], tables[T:], ng1, t)
+        pack(flat4[t], tables4, ngroups4, t)
+    ngroups[1:1 + T] = ng2
+    ngroups[1 + T:] = ng1
     return TileTables(
         tables=tables,
         ngroups=ngroups,
@@ -309,7 +348,9 @@ def build_tile_tables(
         tile_size=float(tile_size),
         nx=nx,
         ny=ny,
-        neighborhood=neighborhood,
+        neighborhood=3,
+        tables4=tables4,
+        ngroups4=ngroups4,
     )
 
 
@@ -328,7 +369,7 @@ def build_tile_tables_cached(
     Set cache_dir=None for $F1TENTH_TPU_CACHE or ~/.cache/f1tenth_gym_tpu.
     """
     segs = np.ascontiguousarray(np.asarray(segments, np.float64))
-    h = hashlib.sha1(b"tile-tables-v4")  # bump on algorithm changes
+    h = hashlib.sha1(b"tile-tables-v6")  # bump on algorithm changes
     h.update(segs.tobytes())
     h.update(np.float64([max_range, tile_size, neighborhood]).tobytes())
     key = h.hexdigest()[:16]
@@ -344,6 +385,7 @@ def build_tile_tables_cached(
             y0=float(z["y0"]), tile_size=float(z["tile_size"]),
             nx=int(z["nx"]), ny=int(z["ny"]),
             neighborhood=int(z["neighborhood"]),
+            tables4=z["tables4"], ngroups4=z["ngroups4"],
         )
     tt = build_tile_tables(segs, max_range, tile_size=tile_size,
                            neighborhood=neighborhood)
@@ -351,6 +393,7 @@ def build_tile_tables_cached(
     tmp = path + f".tmp{os.getpid()}.npz"  # np.savez appends .npz itself
     np.savez(tmp[:-4], tables=tt.tables, ngroups=tt.ngroups, x0=tt.x0,
              y0=tt.y0, tile_size=tt.tile_size, nx=tt.nx, ny=tt.ny,
-             neighborhood=tt.neighborhood)
+             neighborhood=tt.neighborhood, tables4=tt.tables4,
+             ngroups4=tt.ngroups4)
     os.replace(tmp, path)
     return tt

@@ -66,6 +66,7 @@ star demands it.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,7 +76,11 @@ from f1tenth_gym_tpu.state import ScanTables
 
 TWO_PI = 2.0 * np.pi
 LANES = 128
-EA = 16         # (env, agent) scans per grid program
+# (env, agent) scans per grid program. 16 amortizes per-program fixed costs
+# best at round-2 table widths; smaller EA makes programs spatially tighter
+# (more hit the thin 1x1/2x2 culled windows) at equal fixed cost — the
+# env knob exists for tuning sweeps on new workloads.
+EA = int(os.environ.get("F1TENTH_PALLAS_EA", "16"))
 GROUP = 8       # segments per group (one sublane tile)
 
 
@@ -119,17 +124,20 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, nb_ref,
-                 segf_ref, segt_ref, out_ref, acc, dirb):
+def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, bid4_ref, ng_ref,
+                 orig_ref, nb_ref, segf_ref, segt_ref, seg4_ref, out_ref,
+                 acc, dirb):
     """One program: EA scans of R*128 beams against its segment groups.
 
-    bid_ref (n_prog,) i32 SMEM (scalar-prefetch): per-program table choice —
-    0 sweeps the FULL fallback table segf_ref (its own input, resident:
-    constant block index), b > 0 sweeps per-tile culled table b-1 via
-    segt_ref's prefetch-indexed block (ops/culling.py). Keeping the full
-    table out of the per-tile array means the tile tables are padded only
-    to the LARGEST TILE's row count, not the full set's — on multi-map
-    worlds that is ~6x less memory and lets the tile grid stay fine.
+    bid_ref/bid4_ref (n_prog,) i32 SMEM (scalar-prefetch): per-program
+    table choice — bid > 0 sweeps fine window table bid-1 (the 2x2/1x1
+    pack) via segt_ref's prefetch-indexed block, bid4 > 0 sweeps 4x4
+    window table bid4-1 via seg4_ref, both 0 sweeps the FULL fallback
+    table segf_ref (its own input, resident: constant block index)
+    (ops/culling.py). Keeping the full table and the wide 4x4 tables out
+    of the fine array means the fine tables are padded only to the largest
+    FINE window's row count — on multi-map worlds that is ~6x less memory
+    and lets the tile grid stay fine.
     ng_ref (n_prog,) i32 SMEM: per-program segment-group count (dynamic
     fori_loop trip count — culled tables sweep only their own groups).
     orig_ref (1,EA,8) f32 SMEM rows
@@ -243,45 +251,71 @@ def _scan_kernel(R, theta_dis, num_beams, bid_ref, ng_ref, orig_ref, nb_ref,
     # (software-pipelining dirs_for(ea+1) through the peeled group-0 sweep
     # was measured SLOWER — 2.46 vs 2.09 ms at ng=1 — the scheduler gains
     # nothing and register pressure grows; keep the phases separate)
+    # `phases` is a static debug mask ("dirs,sweep,out" in production) that
+    # lets tools/kernel_phases.py time each phase in isolation.
     for ea in range(EA):
         dirs_for(ea)
 
-    # ngroups >= 1 always (ops/culling.py keeps one padding group even for
-    # all-wall tiles), so group 0 can be peeled unconditionally. The
-    # full-vs-tile table choice predicates ONCE per program — negligible
-    # next to the sweep it selects.
-    bid = bid_ref[pl.program_id(0)]
-    ng = ng_ref[pl.program_id(0)]
+    if "sweep" not in phases:
+        if "out" in phases:
+            for c in range(EA * R // GROUP):
+                acc[c * GROUP * GROUP:(c + 1) * GROUP * GROUP, :] = (
+                    jnp.zeros((GROUP * GROUP, LANES), jnp.float32))
+    else:
+        # ngroups >= 1 always (ops/culling.py keeps one padding group even
+        # for all-wall tiles), so group 0 can be peeled unconditionally. The
+        # table choice predicates ONCE per program — negligible next to the
+        # sweep it selects.
+        bid = bid_ref[pl.program_id(0)]
+        bid4 = bid4_ref[pl.program_id(0)]
+        ng = ng_ref[pl.program_id(0)]
 
-    def sweep(seg_ref):
-        process_group(seg_ref, 0, True)
-        jax.lax.fori_loop(
-            1, ng, lambda g, _: (process_group(seg_ref, g, False), 0)[1], 0)
+        def sweep(seg_ref):
+            process_group(seg_ref, 0, True)
+            jax.lax.fori_loop(
+                1, ng, lambda g, _: (process_group(seg_ref, g, False), 0)[1],
+                0)
 
-    @pl.when(bid == 0)
-    def _():
-        sweep(segf_ref)
+        @pl.when((bid == 0) & (bid4 == 0))
+        def _():
+            sweep(segf_ref)
 
-    @pl.when(bid != 0)
-    def _():
-        sweep(segt_ref)
+        @pl.when(bid != 0)
+        def _():
+            sweep(segt_ref)
 
-    # output is the max INVERSE range; range = 1/s + max-range clamp happen
-    # outside the kernel (exact f32 division, fused by XLA). The 8 reduced
-    # (1,128) rows of each chunk are assembled in registers and stored as
-    # ONE full (8,128) tile — per-row (1,128) stores are partial-sublane
-    # writes, which Mosaic lowers as read-modify-write.
+        @pl.when(bid4 != 0)
+        def _():
+            sweep(seg4_ref)
+
+    if "out" not in phases:
+        out_ref[0:GROUP, :] = acc[0:GROUP, :]
+        return
+
+    # out phase: the acc holds the max INVERSE range per (scan, row,
+    # segment-slot); reduce the 8 slots and convert to the final clamped
+    # range IN-KERNEL: out = min(1/max(s, eps), max_range). Fusing the
+    # epilogue here saves a full read+write of the (n_pad*R, 128) output
+    # in XLA (~74 MB of HBM traffic at 8192 scans). The 8 reduced (1,128)
+    # rows of each chunk are assembled in registers and stored as ONE full
+    # (8,128) tile — per-row (1,128) stores are partial-sublane writes,
+    # which Mosaic lowers as read-modify-write.
+    eps = jnp.float32(1e-9)
+    max_range = orig_ref[0, 0, 6]
     for c in range(EA * R // GROUP):
         rows = [
             jnp.max(acc[(c * GROUP + i) * GROUP:(c * GROUP + i + 1) * GROUP, :],
                     axis=0, keepdims=True)
             for i in range(GROUP)
         ]
-        out_ref[c * GROUP:(c + 1) * GROUP, :] = jnp.concatenate(rows, axis=0)
+        s = jnp.concatenate(rows, axis=0)
+        out_ref[c * GROUP:(c + 1) * GROUP, :] = jnp.minimum(
+            jnp.float32(1.0) / jnp.maximum(s, eps), max_range)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_beams", "theta_dis", "interpret"))
+    jax.jit,
+    static_argnames=("num_beams", "theta_dis", "interpret", "phases"))
 def scan_pallas(
     pose: jnp.ndarray,            # (..., 3)
     seg_table: jnp.ndarray,       # (K, 8) from build_seg_table
@@ -289,9 +323,12 @@ def scan_pallas(
     num_beams: int,
     theta_dis: int,
     interpret: bool = False,
-    tile_tables: jnp.ndarray = None,   # (n_tables, Kmax, 8), ops/culling.py
-    tile_ngroups: jnp.ndarray = None,  # (n_tables,) i32
+    phases: str = "dirs,sweep,out",  # debug-only phase mask (see kernel)
+    tile_tables: jnp.ndarray = None,   # (2*n_tiles, Kmax, 8), ops/culling.py
+    tile_ngroups: jnp.ndarray = None,  # (2*n_tiles + 1,) i32
     tile_meta: jnp.ndarray = None,     # (6,) [x0, y0, 1/ts, nx, ny, r]
+    tile_tables4: jnp.ndarray = None,  # (n_tiles, Kmax4, 8)
+    tile_ngroups4: jnp.ndarray = None,  # (n_tiles,) i32
 ) -> jnp.ndarray:
     """Batched LiDAR scan -> (..., num_beams) ranges.
 
@@ -299,13 +336,14 @@ def scan_pallas(
     the batch is flattened, padded to a multiple of EA, and fed to the grid.
     Set interpret=True on CPU (tests).
 
-    With tile_tables/tile_ngroups/tile_meta (built by
-    ops.culling.build_tile_tables), each 16-scan program sweeps only the
-    segments provably visible from its scans' map tiles: when all 16 scans
-    fit a (2r+1)x(2r+1) tile window the program uses that window's culled
-    table, else the full table (block 0) — exact either way. Locality-sort
-    the env batch (parallel.vector.sort_envs_for_locality) to keep programs
-    homogeneous.
+    With the multi-window tables built by ops.culling.build_tile_tables
+    (format v6: 2x2/1x1 windows in tile_tables, 4x4 in tile_tables4, all
+    indexed by lower-left tile), each 16-scan program sweeps only the
+    segments provably visible from the TIGHTEST window covering its scans
+    — 1x1 when they share a tile, else 2x2 when they span <= 1 tile per
+    axis, else 4x4, else the full table — exact in every case.
+    Locality-sort the env batch (parallel.vector.sort_envs_for_locality
+    with the map's tile grid) to keep programs tile-pure.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -333,9 +371,10 @@ def scan_pallas(
     inc = jnp.full_like(ti0, inc_val)
     alpha = ti0 * bin_to_rad
     zeros = jnp.zeros_like(ti0)
+    maxr = jnp.full_like(ti0, tables.max_range.astype(jnp.float32))
     scalars = jnp.stack(
         [p[:, 0], p[:, 1], ti0, inc, jnp.cos(alpha), jnp.sin(alpha),
-         zeros, zeros], axis=-1)  # (n_pad, 8)
+         maxr, zeros], axis=-1)  # (n_pad, 8)
 
     # scan-independent beam-fan tables cos(n*beta)/sin(n*beta), one cos +
     # one sin (8,128) tile per rowgroup (n = beam index)
@@ -352,67 +391,70 @@ def scan_pallas(
     n_prog = grid[0]
     Kf = seg_table.shape[0]
     full = seg_table[None]  # (1, Kf, 8)
+    dummy = jnp.zeros((1, GROUP, 8), jnp.float32
+                      ).at[:, :, 2].set(1.0).at[:, :, 5].set(10.0)
     if tile_tables is None:
-        # never-matching padding rows (see build_seg_table): the tile input
-        # is a tiny dummy block, every program sweeps the full table
-        tabs = jnp.zeros((1, GROUP, 8), jnp.float32
-                         ).at[:, :, 2].set(1.0).at[:, :, 5].set(10.0)
-        bid = jnp.zeros((n_prog,), jnp.int32)
+        # never-matching padding rows (see build_seg_table): the tile
+        # inputs are tiny dummy blocks, every program sweeps the full table
+        tabs = tabs4 = dummy
+        bid = bid4 = jnp.zeros((n_prog,), jnp.int32)
         ng = jnp.full((n_prog,), Kf // GROUP, jnp.int32)
     else:
         tabs = tile_tables
+        tabs4 = dummy if tile_tables4 is None else tile_tables4
         x0, y0, inv_ts = tile_meta[0], tile_meta[1], tile_meta[2]
         nx = tile_meta[3].astype(jnp.int32)
         ny = tile_meta[4].astype(jnp.int32)
-        rr = tile_meta[5].astype(jnp.int32)
         ti = jnp.floor((p[:, 0] - x0) * inv_ts).astype(jnp.int32)
         tj = jnp.floor((p[:, 1] - y0) * inv_ts).astype(jnp.int32)
         tig = ti.reshape(n_prog, EA)
         tjg = tj.reshape(n_prog, EA)
         ti_lo, ti_hi = tig.min(-1), tig.max(-1)
         tj_lo, tj_hi = tjg.min(-1), tjg.max(-1)
-        # center tile of the program's bbox; table 1+cj*nx+ci provably
-        # covers every scan within Chebyshev radius r of (ci, cj), and the
-        # thinner r=0 table 1+T+cj*nx+ci covers a program entirely INSIDE
-        # one tile (ops/culling.py dual-radius pack)
-        ci = (ti_lo + ti_hi) // 2
-        cj = (tj_lo + tj_hi) // 2
         in_grid = (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
-        ok = (
-            in_grid
-            & (ti_hi - ci <= rr) & (ci - ti_lo <= rr)
-            & (tj_hi - cj <= rr) & (cj - tj_lo <= rr)
-        )
-        one_tile = in_grid & (ti_hi == ti_lo) & (tj_hi == tj_lo)
+        sx = ti_hi - ti_lo
+        sy = tj_hi - tj_lo
+        # tightest window indexed by the program's LOWER-LEFT tile: 1x1
+        # when all scans share a tile, 2x2 for spread <= 1 per axis, 4x4
+        # for spread <= 3, else the full set (also on sentinel -1 = that
+        # window's table would be no smaller than the full set)
         T = tile_tables.shape[0] // 2
-        tidx = jnp.clip(cj * nx + ci, 0, T - 1)
-        ng_r1 = tile_ngroups[1 + tidx].astype(jnp.int32)
-        ng_r0 = tile_ngroups[1 + T + tidx].astype(jnp.int32)
-        # precedence: thin r=0 table when the program sits in one tile,
-        # else the r-neighborhood union, else the full set (sentinel -1 =
-        # that table would be no smaller than the full set)
-        use_r0 = one_tile & (ng_r0 > 0)
-        use_r1 = ok & (ng_r1 > 0) & ~use_r0
-        bid = jnp.where(use_r0, 1 + T + tidx,
-                        jnp.where(use_r1, 1 + tidx, 0))
-        ng = jnp.where(use_r0, ng_r0,
-                       jnp.where(use_r1, ng_r1, Kf // GROUP))
+        tidx = jnp.clip(tj_lo * nx + ti_lo, 0, T - 1)
+        ng_w2 = tile_ngroups[1 + tidx].astype(jnp.int32)
+        ng_w1 = tile_ngroups[1 + T + tidx].astype(jnp.int32)
+        if tile_ngroups4 is None:
+            ng_w4 = jnp.zeros_like(ng_w2)
+        else:
+            ng_w4 = tile_ngroups4[tidx].astype(jnp.int32)
+        use1 = in_grid & (sx == 0) & (sy == 0) & (ng_w1 > 0)
+        use2 = in_grid & (sx <= 1) & (sy <= 1) & (ng_w2 > 0) & ~use1
+        use4 = (in_grid & (sx <= 3) & (sy <= 3) & (ng_w4 > 0)
+                & ~use1 & ~use2)
+        bid = jnp.where(use1, 1 + T + tidx, jnp.where(use2, 1 + tidx, 0))
+        bid4 = jnp.where(use4, 1 + tidx, 0)
+        ng = jnp.where(use1, ng_w1,
+                       jnp.where(use2, ng_w2,
+                                 jnp.where(use4, ng_w4, Kf // GROUP)))
 
     Kt = tabs.shape[1]
-    kern = functools.partial(_scan_kernel, R, theta_dis, num_beams)
+    K4 = tabs4.shape[1]
+    kern = functools.partial(_scan_kernel, R, theta_dis, num_beams,
+                             tuple(phases.split(",")))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, EA, 8), lambda g, b, m: (g, 0, 0),
+            pl.BlockSpec((1, EA, 8), lambda g, b, b4, m: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b, m: (0, 0)),
-            pl.BlockSpec((1, Kf, 8), lambda g, b, m: (0, 0, 0)),
+            pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b, b4, m: (0, 0)),
+            pl.BlockSpec((1, Kf, 8), lambda g, b, b4, m: (0, 0, 0)),
             pl.BlockSpec((1, Kt, 8),
-                         lambda g, b, m: (jnp.maximum(b[g] - 1, 0), 0, 0)),
+                         lambda g, b, b4, m: (jnp.maximum(b[g] - 1, 0), 0, 0)),
+            pl.BlockSpec((1, K4, 8),
+                         lambda g, b, b4, m: (jnp.maximum(b4[g] - 1, 0), 0, 0)),
         ],
-        out_specs=pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0)),
+        out_specs=pl.BlockSpec((EA * R, LANES), lambda g, b, b4, m: (g, 0)),
         scratch_shapes=[
             pltpu.VMEM((EA * R * GROUP, LANES), jnp.float32),
             pltpu.VMEM((EA * RG * 2 * GROUP, LANES), jnp.float32)],
@@ -422,18 +464,17 @@ def scan_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32),
         interpret=interpret,
-    )(bid, ng, scalars.reshape(n_prog, EA, 8), nb, full, tabs)
+    )(bid, bid4, ng, scalars.reshape(n_prog, EA, 8), nb, full, tabs, tabs4)
 
+    # the kernel's out phase already emitted final clamped ranges
     out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
-    # kernel emits inverse range (0 = no hit): exact division + clamp here
-    out = jnp.minimum(jnp.float32(1.0) / jnp.maximum(out, jnp.float32(1e-9)),
-                      tables.max_range.astype(jnp.float32))
     return out.reshape(*batch_shape, num_beams).astype(pose.dtype)
 
 
 def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
                           interpret=False, tile_tables=None,
-                          tile_ngroups=None, tile_meta=None):
+                          tile_ngroups=None, tile_meta=None,
+                          tile_tables4=None, tile_ngroups4=None):
     """scan_pallas that collapses under jax.vmap into ONE pallas call.
 
     jax's default pallas batching rule adds a grid dimension per vmap level,
@@ -446,7 +487,9 @@ def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
     def fn(p):
         return scan_pallas(p, seg_table, tables, num_beams, theta_dis,
                            interpret=interpret, tile_tables=tile_tables,
-                           tile_ngroups=tile_ngroups, tile_meta=tile_meta)
+                           tile_ngroups=tile_ngroups, tile_meta=tile_meta,
+                           tile_tables4=tile_tables4,
+                           tile_ngroups4=tile_ngroups4)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, p):  # noqa: ANN001

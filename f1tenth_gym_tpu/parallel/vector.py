@@ -69,12 +69,16 @@ def uniform_pose_sampler(map_data: MapData, clearance: float = 0.6,
     corridor rather than the unreachable field outside the outer wall
     (the reference only ever spawns on-track, f110_env.py:306).
 
-    grouped=True samples all agents after the first 0.8-2.0 m from agent 0
-    (the reference's start-grid convention — cars start adjacent but never
-    overlapping, examples/waypoint_follow.py:281). Implemented with a
-    precomputed KD-tree neighbor table over the candidate cells, so every
-    agent lands on a valid free cell at a guaranteed non-colliding
-    distance.
+    grouped=True spawns agents 1..A-1 on a start grid around agent 0 (the
+    reference's convention — cars start adjacent but never overlapping,
+    examples/waypoint_follow.py:281): an ORIENTED RING of 16 slots
+    (4 corridor-aligned line rotations x offsets +-0.9 / +-1.8 m) whose
+    geometry makes every pair of distinct slots >= 0.688 m apart, so any
+    number of agents spawn mutually non-colliding (0.58 m cars). Agents
+    take consecutive valid slots, so the guarantee degrades only in
+    isolated pockets with fewer than num_agents-1 free slots: there the
+    slot index wraps and agents can overlap (as the reference would with
+    an infeasible grid).
 
     align_theta=True points the spawn heading along the local corridor
     (perpendicular to the obstacle-distance gradient, random direction
@@ -110,39 +114,57 @@ def uniform_pose_sampler(map_data: MapData, clearance: float = 0.6,
     xs_w = xs_m * orig_c - ys_m * orig_s + orig_x
     ys_w = xs_m * orig_s + ys_m * orig_c + orig_y
     tangents = None
-    if align_theta:
+    if align_theta or grouped:
         # corridor tangent: perpendicular to the EDT gradient, world frame
         gy, gx = np.gradient(dt)
         gxc, gyc = gx[rows, cols], gy[rows, cols]
         gxw = gxc * orig_c - gyc * orig_s
         gyw = gxc * orig_s + gyc * orig_c
         tangents = np.arctan2(gxw, -gyw)  # grad rotated by -90 deg
-    neighbors = None
+    slot_xy = None
+    slot_counts = None
     if grouped:
-        # ring neighbor table: for each candidate, up to 16 candidates at
-        # 0.9-1.8 m — close enough to share a culling tile, far enough that
-        # spawned rectangles (0.58 x 0.31 m) can never overlap. Probes 24
-        # ring offsets against a cell -> candidate-index raster (vectorized;
-        # in a corridor the along-track probes always land on free cells).
-        index_raster = np.full(dt.shape, -1, np.int64)
-        index_raster[rows, cols] = np.arange(len(rows))
-        ang = np.linspace(0.0, 2.0 * np.pi, 24, endpoint=False)
-        rad = (0.9 + 0.9 * (np.arange(24) % 3) / 2.0) / res  # 0.9/1.35/1.8 m
-        dr = np.round(rad * np.sin(ang)).astype(np.int64)
-        dc = np.round(rad * np.cos(ang)).astype(np.int64)
-        rr = np.clip(rows[:, None] + dr[None], 0, dt.shape[0] - 1)
-        cc = np.clip(cols[:, None] + dc[None], 0, dt.shape[1] - 1)
-        cand = index_raster[rr, cc]  # (n, 24), -1 where not a candidate
-        valid = cand >= 0
+        # start-grid slot table: an ORIENTED RING of 16 positions per
+        # candidate cell — 4 line rotations (tangent + 0/45/90/135 deg),
+        # each with offsets +-0.9 / +-1.8 m, ordered near-to-far with the
+        # along-tangent slots first. Geometry guarantees every PAIR of
+        # distinct slots is >= 2*0.9*sin(22.5 deg) = 0.688 m apart (same
+        # line: >= 0.9 m), i.e. mutually non-colliding for 0.58 m cars at
+        # ANY agent count — unlike the old 15-degree ring, whose adjacent
+        # probes sat 0.23 m apart. Validity is checked against the FULL
+        # free-space raster (clearance + component mask), not the
+        # possibly-subsampled candidate set — probing the candidate raster
+        # starved the counts whenever max_candidates kicked in. Slot
+        # coordinates are the exact (unrounded) offsets, so the pairwise
+        # bound is exact.
+        k_off = np.array([1, -1] * 4 + [2, -2] * 4, np.float64)
+        rot = np.array([0.0, 0.0, 0.25, 0.25, 0.5, 0.5, 0.75, 0.75] * 2,
+                       np.float64) * np.pi
+        ang = tangents[:, None] + rot[None, :]   # (n, 16) world-frame
+        dxw = 0.9 * k_off[None, :] * np.cos(ang)
+        dyw = 0.9 * k_off[None, :] * np.sin(ang)
+        # probe cells in the map frame (rotate back by the origin rotation)
+        dxm = dxw * orig_c + dyw * orig_s
+        dym = -dxw * orig_s + dyw * orig_c
+        pc = (cols + 0.5)[:, None] + dxm / res
+        pr = (rows + 0.5)[:, None] + dym / res
+        inb = ((pr >= 0) & (pr < dt.shape[0])
+               & (pc >= 0) & (pc < dt.shape[1]))
+        rr = np.clip(pr.astype(np.int64), 0, dt.shape[0] - 1)
+        cc = np.clip(pc.astype(np.int64), 0, dt.shape[1] - 1)
+        valid = inb & free[rr, cc]
         counts = valid.sum(1)
         order = np.argsort(~valid, axis=1, kind="stable")  # valid first
-        cand = np.take_along_axis(cand, order, 1)
-        sel = np.arange(16)[None] % np.maximum(counts, 1)[:, None]
-        nb = np.take_along_axis(cand, sel, 1)
-        # isolated pocket (no free ring cell): spawn on the cell itself —
+        sx = xs_w[:, None] + np.take_along_axis(dxw, order, 1)
+        sy = ys_w[:, None] + np.take_along_axis(dyw, order, 1)
+        # isolated pocket (no free slot at all): spawn on the cell itself —
         # overlapping start, same as the reference would with a bad grid
-        nb[counts == 0] = np.arange(len(rows))[counts == 0, None]
-        neighbors = jnp.asarray(nb.astype(np.int32))
+        none = counts == 0
+        sx[none] = xs_w[none, None]
+        sy[none] = ys_w[none, None]
+        slot_xy = jnp.asarray(np.stack([sx, sy], -1),
+                              dtype=map_data.dt.dtype)  # (n, 16, 2)
+        slot_counts = jnp.asarray(counts.astype(np.int32))
     candidates = jnp.asarray(np.stack([xs_w, ys_w], axis=1), dtype=map_data.dt.dtype)
     if tangents is not None:
         tangents = jnp.asarray(tangents, dtype=map_data.dt.dtype)
@@ -151,14 +173,27 @@ def uniform_pose_sampler(map_data: MapData, clearance: float = 0.6,
         k1, k2, k3 = jax.random.split(key, 3)
         n = int(np.prod(shape)) if shape else 1
         idx = jax.random.randint(k1, (n,), 0, candidates.shape[0])
+        grp_xy = None
         if grouped and len(shape) >= 1 and shape[-1] > 1:
-            # agents > 0 of each group spawn on a neighbor of agent 0's cell
+            # agents 1..a-1 take CONSECUTIVE slots of agent 0's start-grid
+            # ring from a random in-bounds shift: distinct slots, hence
+            # pairwise >= 0.688 m, whenever the cell has >= a-1 valid slots
+            # (the modulo only wraps — and can overlap — in starved
+            # pockets). The shift is bounded to the 8 nearest slots so
+            # pairs keep the reference's adjacent-grid spacing (0.9-1.8 m)
             a = shape[-1]
             idx = idx.reshape(-1, a)
-            pick = jax.random.randint(k3, idx.shape, 0, neighbors.shape[1])
-            idx = idx.at[:, 1:].set(neighbors[idx[:, :1], pick[:, 1:]])
+            cnt = slot_counts[idx[:, 0]]
+            max_shift = jnp.maximum(jnp.minimum(cnt, 8) - (a - 2), 1)
+            shift = jax.random.randint(k3, (idx.shape[0],), 0, 1 << 30)
+            shift = shift % max_shift
+            slots = (shift[:, None] + jnp.arange(a - 1)[None, :]) % jnp.maximum(
+                cnt, 1)[:, None]
+            grp_xy = slot_xy[idx[:, :1], slots]  # (groups, a-1, 2)
             idx = idx.reshape(-1)
         xy = candidates[idx]
+        if grp_xy is not None:
+            xy = xy.reshape(-1, a, 2).at[:, 1:].set(grp_xy).reshape(-1, 2)
         if align_theta:
             flip = jax.random.bernoulli(k2, 0.5, (n,))
             jit_k = jax.random.fold_in(k2, 1)
@@ -181,8 +216,9 @@ def uniform_pose_sampler(map_data: MapData, clearance: float = 0.6,
     return sample
 
 
-@jax.jit
-def sort_envs_for_locality(states: SimState) -> SimState:
+@partial(jax.jit, static_argnums=(1, 2))
+def sort_envs_for_locality(states: SimState, tile_size: float = None,
+                           origin: Tuple[float, float] = (0.0, 0.0)) -> SimState:
     """Reorder the env batch so spatially-near envs are batch-adjacent.
 
     Envs are independent, so this is a pure relabeling (no inverse needed).
@@ -190,17 +226,48 @@ def sort_envs_for_locality(states: SimState) -> SimState:
     per-tile culled tables apply (ops/culling.py). Staleness is harmless —
     a drifted order only costs speed, never correctness — so call this
     every few dozen steps, not every step.
+
+    CAUTION: relabeling is only safe when nothing outside the state is
+    positionally tied to env order. In particular, do NOT combine it with
+    ``make_autoreset_step(reset_poses=...)`` — those fixed poses stay in
+    the ORIGINAL batch order, so a relabeled env would reset to another
+    env's start pose. Use ``reset_to_start`` (start poses live inside the
+    state and move with it) or a ``pose_sampler`` instead.
+
+    With ``tile_size``/``origin`` (pass the map's culling grid: tile_size =
+    1/tile_meta[2], origin = tile_meta[0:2]), envs are keyed DIRECTLY on
+    their culling-tile index in boustrophedon (snake) tile order —
+    consecutive envs share a tile, and envs spilling across a program
+    boundary land in a grid-adjacent tile, which the multi-window tables
+    still cover. The env position is the midpoint of its agents (minimizes
+    a program's tile spread for grouped starts). Without tile_size, a
+    map-agnostic 6 m / 1.5 m square-block key is used.
     """
-    x = states.x[:, 0, 0]
-    y = states.x[:, 0, 1]
-    # SQUARE hierarchical blocks (6 m primary, 1.5 m secondary), not thin
-    # y-bands: on sparse worlds (e.g. multi-track grids) a thin band spans
-    # many far-apart regions and every kernel program straddles them
-    by = jnp.floor(y / 6.0)
-    bx = jnp.floor(x / 6.0)
-    fy = jnp.mod(jnp.floor(y / 1.5), 4.0)
-    fx = jnp.mod(jnp.floor(x / 1.5), 4.0)
-    key = ((by * 4096.0 + bx) * 4.0 + fy) * 4.0 + fx
+    if tile_size is None:
+        x = states.x[:, 0, 0]
+        y = states.x[:, 0, 1]
+        # SQUARE hierarchical blocks (6 m primary, 1.5 m secondary), not thin
+        # y-bands: on sparse worlds (e.g. multi-track grids) a thin band spans
+        # many far-apart regions and every kernel program straddles them
+        by = jnp.floor(y / 6.0)
+        bx = jnp.floor(x / 6.0)
+        fy = jnp.mod(jnp.floor(y / 1.5), 4.0)
+        fx = jnp.mod(jnp.floor(x / 1.5), 4.0)
+        key = ((by * 4096.0 + bx) * 4.0 + fy) * 4.0 + fx
+    else:
+        mx = states.x[:, :, 0].mean(axis=1)
+        my = states.x[:, :, 1].mean(axis=1)
+        tx = (mx - origin[0]) / tile_size
+        ty = (my - origin[1]) / tile_size
+        ti = jnp.floor(tx)
+        tj = jnp.floor(ty)
+        snake = jnp.where(jnp.mod(tj, 2.0) == 0.0, ti, 4095.0 - ti)
+        # secondary: tile quadrant (snaked), so EA=8 half-programs pack
+        # into one corner of a tile and spill into the adjacent quadrant
+        fx = jnp.floor((tx - ti) * 2.0)
+        fy = jnp.floor((ty - tj) * 2.0)
+        fxs = jnp.where(jnp.mod(fy, 2.0) == 0.0, fx, 1.0 - fx)
+        key = (tj * 4096.0 + snake) * 4.0 + fy * 2.0 + fxs
     order = jnp.argsort(key)
     return jax.tree.map(lambda l: jnp.take(l, order, axis=0), states)
 
@@ -223,6 +290,10 @@ def make_autoreset_step(
     grid (carried in the state, so it survives batch reorderings) — the
     reference's reset semantics (f110_env.py:306 resets to given poses).
     The returned obs is the pre-reset (terminal) obs, RL convention.
+
+    reset_poses is positional: env i always resets to reset_poses[i]. Do
+    NOT combine it with ``sort_envs_for_locality`` (which relabels envs);
+    use reset_to_start or a pose_sampler with sorted batches.
     """
     n_modes = sum([pose_sampler is not None, reset_poses is not None,
                    bool(reset_to_start)])

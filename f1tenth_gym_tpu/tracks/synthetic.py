@@ -42,10 +42,14 @@ def ring_track_bitmap(
 
 def ring_map_data(size: int = 512, resolution: float = 0.0625,
                   track_width: float = 3.0, radius: Optional[float] = None,
-                  dtype=jnp.float32, extract_segments: bool = False) -> MapData:
+                  dtype=jnp.float32, extract_segments: bool = False,
+                  tile_culling: bool = False,
+                  culling_tile_size: float = 2.5) -> MapData:
     bitmap, res, origin = ring_track_bitmap(size, resolution, track_width, radius)
     return make_map_data(bitmap, res, origin, dtype=dtype,
-                         extract_segments=extract_segments)
+                         extract_segments=extract_segments,
+                         tile_culling=tile_culling,
+                         culling_tile_size=culling_tile_size)
 
 
 def ring_start_poses(num_agents: int, radius: float, spacing: float = 1.0

@@ -63,8 +63,9 @@ def test_tile_tables_shapes(culled_map):
     n_blocks, kmax, eight = m.tile_tables.shape
     assert eight == 8 and kmax % GROUP == 0
     meta = np.asarray(m.tile_meta)
-    # dual-radius pack: r-union tables then r=0 tables
-    assert n_blocks == 2 * int(meta[3]) * int(meta[4])
+    # multi-window pack: 2x2-union tables then 1x1 tables
+    T = int(meta[3]) * int(meta[4])
+    assert n_blocks == 2 * T
     ng = np.asarray(m.tile_ngroups)
     assert len(ng) == n_blocks + 1 and ng[0] >= 1
     # tile entries: -1 = full-table sentinel, else 1..kmax/8 groups
@@ -73,6 +74,17 @@ def test_tile_tables_shapes(culled_map):
     assert real.min() >= 1 and real.max() * GROUP <= kmax
     # culling must actually bite somewhere
     assert real.min() < ng[0]
+    # 4x4 windows: own array, own group counts
+    n4, kmax4, eight4 = m.tile_tables4.shape
+    assert n4 == T and eight4 == 8 and kmax4 % GROUP == 0
+    ng4 = np.asarray(m.tile_ngroups4)
+    real4 = ng4[ng4 >= 0]
+    assert len(ng4) == T and real4.min() >= 1
+    assert real4.max() * GROUP <= kmax4
+    # a 1x1 window's set is a subset of its 2x2 union where both are real
+    w2, w1 = ng[1:1 + T], ng[1 + T:]
+    both = (w1 > 0) & (w2 > 0)
+    assert np.all(w1[both] <= w2[both])
 
 
 def test_culled_scan_bitwise_equals_full(culled_map):
@@ -104,22 +116,22 @@ def test_culled_scan_bitwise_equals_full(culled_map):
                           rng.uniform(0, 2 * np.pi)])
     p = jnp.asarray(np.asarray(poses, np.float32))
 
-    # at least half the programs must resolve to a culled (non-full) table,
+    # at least half the programs must resolve to a culled (non-full) window,
     # otherwise this test exercises nothing
     ti = np.floor((np.asarray(p)[:, 0] - meta[0]) * meta[2]).astype(int)
     tj = np.floor((np.asarray(p)[:, 1] - meta[1]) * meta[2]).astype(int)
     ti, tj = ti.reshape(-1, EA), tj.reshape(-1, EA)
-    ci = (ti.min(1) + ti.max(1)) // 2
-    cj = (tj.min(1) + tj.max(1)) // 2
+    sx, sy = ti.max(1) - ti.min(1), tj.max(1) - tj.min(1)
     ok = ((ti.min(1) >= 0) & (tj.min(1) >= 0) & (ti.max(1) < nx)
-          & (tj.max(1) < ny) & (ti.max(1) - ci <= r) & (ci - ti.min(1) <= r)
-          & (tj.max(1) - cj <= r) & (cj - tj.min(1) <= r))
+          & (tj.max(1) < ny) & (sx <= 3) & (sy <= 3))
     assert ok.sum() >= 2
 
     full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
     cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
                        tile_tables=m.tile_tables,
-                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta)
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
+                       tile_tables4=m.tile_tables4,
+                       tile_ngroups4=m.tile_ngroups4)
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -140,7 +152,63 @@ def test_out_of_grid_falls_back_exactly(culled_map):
     full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
     cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
                        tile_tables=m.tile_tables,
-                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta)
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
+                       tile_tables4=m.tile_tables4,
+                       tile_ngroups4=m.tile_ngroups4)
+    assert np.array_equal(np.asarray(full), np.asarray(cull))
+
+
+def test_each_window_size_bitwise(culled_map):
+    """Programs engineered to hit the 1x1, 2x2, and 4x4 windows each match
+    the full sweep bitwise."""
+    m = culled_map
+    tables = make_scan_tables(num_beams=108)
+    meta = np.asarray(m.tile_meta)
+    nx, ny = int(meta[3]), int(meta[4])
+    ts = 1.0 / meta[2]
+    dt = np.asarray(m.dt)
+    res = float(m.resolution)
+    cells = np.argwhere(dt > 0.35)
+    wx = cells[:, 1] * res + float(m.orig_x)
+    wy = cells[:, 0] * res + float(m.orig_y)
+    rng = np.random.default_rng(11)
+
+    def program_with_spread(max_spread_m):
+        # scans clustered within max_spread_m of a seed free cell
+        i = rng.integers(0, len(cells))
+        d = np.hypot(wx - wx[i], wy - wy[i])
+        near = np.nonzero(d <= max_spread_m)[0]
+        pick = rng.choice(near, EA)
+        th = rng.uniform(0, 2 * np.pi, EA)
+        return np.stack([wx[pick], wy[pick], th], 1)
+
+    got = set()
+    poses = []
+    for _ in range(40):
+        spread = rng.choice([0.2, 0.8, 2.5])
+        prog = program_with_spread(spread)
+        ti = np.floor((prog[:, 0] - meta[0]) * meta[2]).astype(int)
+        tj = np.floor((prog[:, 1] - meta[1]) * meta[2]).astype(int)
+        sx, sy = ti.max() - ti.min(), tj.max() - tj.min()
+        if not (ti.min() >= 0 and tj.min() >= 0 and ti.max() < nx
+                and tj.max() < ny):
+            continue
+        kind = ("w1" if sx == 0 and sy == 0 else
+                "w2" if sx <= 1 and sy <= 1 else
+                "w4" if sx <= 3 and sy <= 3 else "full")
+        if kind not in got:
+            got.add(kind)
+            poses.append(prog)
+        if {"w1", "w2", "w4"} <= got:
+            break
+    assert {"w1", "w2", "w4"} <= got, f"only engineered {got} at ts={ts}"
+    p = jnp.asarray(np.concatenate(poses).astype(np.float32))
+    full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
+    cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
+                       tile_tables=m.tile_tables,
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
+                       tile_tables4=m.tile_tables4,
+                       tile_ngroups4=m.tile_ngroups4)
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -154,6 +222,8 @@ def test_build_deterministic():
     b = build_tile_tables(segs, 30.0, tile_size=1.0)
     assert np.array_equal(a.tables, b.tables)
     assert np.array_equal(a.ngroups, b.ngroups)
+    assert np.array_equal(a.tables4, b.tables4)
+    assert np.array_equal(a.ngroups4, b.ngroups4)
 
 
 def test_native_umbra_matches_numpy():

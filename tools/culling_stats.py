@@ -1,0 +1,108 @@
+"""Host-side culling effectiveness stats for the bench workload.
+
+For the bench's racing workload (grouped corridor spawns, tile-snake
+locality sort), reports — per culling tile size — how many 16-scan kernel
+programs resolve to each window size (1x1 / 2x2 / 4x4 / full) and the mean
+number of 8-segment groups actually swept. This is the number the kernel's
+group loop scales with; compare against `tools/kernel_phases.py` for the
+fixed-cost side.
+
+  BENCH_CULL_TS=1.25 python tools/culling_stats.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "F1TENTH_TPU_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".map_cache"))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from f1tenth_gym_tpu import load_map  # noqa: E402
+from f1tenth_gym_tpu.maps import map_path as bundled_map  # noqa: E402
+from f1tenth_gym_tpu.ops.pallas_scan import EA, GROUP  # noqa: E402
+from f1tenth_gym_tpu.parallel import uniform_pose_sampler  # noqa: E402
+
+
+def stats_for(md, poses):
+    """poses (N, 3) already locality-sorted; returns dict of program stats."""
+    tm = np.asarray(md.tile_meta)
+    x0, y0, inv_ts = tm[0], tm[1], tm[2]
+    nx, ny = int(tm[3]), int(tm[4])
+    T = nx * ny
+    ng_all = np.asarray(md.tile_ngroups)
+    ng4_all = np.asarray(md.tile_ngroups4)
+    full_ng = int(ng_all[0])
+
+    p = np.asarray(poses, np.float32)
+    n = len(p)
+    n_pad = ((n + EA - 1) // EA) * EA
+    p = np.concatenate([p, np.zeros((n_pad - n, 3), np.float32)])
+    ti = np.floor((p[:, 0] - x0) * inv_ts).astype(int).reshape(-1, EA)
+    tj = np.floor((p[:, 1] - y0) * inv_ts).astype(int).reshape(-1, EA)
+    ti_lo, ti_hi = ti.min(1), ti.max(1)
+    tj_lo, tj_hi = tj.min(1), tj.max(1)
+    sx, sy = ti_hi - ti_lo, tj_hi - tj_lo
+    in_grid = (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
+    tidx = np.clip(tj_lo * nx + ti_lo, 0, T - 1)
+    ng_w2 = ng_all[1 + tidx]
+    ng_w1 = ng_all[1 + T + tidx]
+    ng_w4 = ng4_all[tidx]
+    use1 = in_grid & (sx == 0) & (sy == 0) & (ng_w1 > 0)
+    use2 = in_grid & (sx <= 1) & (sy <= 1) & (ng_w2 > 0) & ~use1
+    use4 = in_grid & (sx <= 3) & (sy <= 3) & (ng_w4 > 0) & ~use1 & ~use2
+    ng = np.where(use1, ng_w1,
+                  np.where(use2, ng_w2, np.where(use4, ng_w4, full_ng)))
+    n_prog = len(ng)
+    return {
+        "programs": n_prog,
+        "w1": int(use1.sum()), "w2": int(use2.sum()),
+        "w4": int(use4.sum()),
+        "full": int((~(use1 | use2 | use4)).sum()),
+        "mean_ng": float(ng.mean()),
+        "full_ng": full_ng,
+        "mean_segs": float(ng.mean()) * GROUP,
+        "speedup_vs_full": full_ng / float(ng.mean()),
+    }
+
+
+def main():
+    ts = float(os.environ.get("BENCH_CULL_TS", 2.5))
+    num_envs = int(os.environ.get("BENCH_ENVS", 4096))
+    md = load_map(bundled_map("example_map"), ".png", dtype=jnp.float32,
+                  extract_segments=True, tile_culling=True,
+                  culling_tile_size=ts)
+    sampler = uniform_pose_sampler(md, clearance=0.6, component_seed=(0.7, 0.0),
+                                   grouped=True, align_theta=True)
+    poses = np.asarray(sampler(jax.random.PRNGKey(7), (num_envs, 2)),
+                       np.float32)
+    # the bench's tile-snake sort on env (agent-midpoint) keys
+    tm = np.asarray(md.tile_meta)
+    tx = (poses[:, :, 0].mean(1) - tm[0]) * tm[2]
+    ty = (poses[:, :, 1].mean(1) - tm[1]) * tm[2]
+    ti, tj = np.floor(tx), np.floor(ty)
+    snake = np.where(tj % 2 == 0, ti, 4095.0 - ti)
+    fx, fy = np.floor((tx - ti) * 2), np.floor((ty - tj) * 2)
+    fxs = np.where(fy % 2 == 0, fx, 1.0 - fx)
+    key = (tj * 4096.0 + snake) * 4.0 + fy * 2.0 + fxs
+    poses = poses[np.argsort(key, kind="stable")]
+
+    s = stats_for(md, poses.reshape(-1, 3))
+    kmax = md.tile_tables.shape[1] // GROUP
+    kmax4 = md.tile_tables4.shape[1] // GROUP
+    print(f"ts={ts} grid={int(tm[3])}x{int(tm[4])} EA={EA} "
+          f"kmax_fine={kmax}g kmax4={kmax4}g")
+    print(f"programs={s['programs']}  1x1={s['w1']}  2x2={s['w2']}  "
+          f"4x4={s['w4']}  full={s['full']}")
+    print(f"mean swept groups/program = {s['mean_ng']:.2f} "
+          f"(full set: {s['full_ng']}) -> {s['speedup_vs_full']:.2f}x row cull")
+
+
+if __name__ == "__main__":
+    main()
