@@ -21,6 +21,13 @@ import os
 import sys
 import time
 
+# tuned headline defaults (override with the env vars): 8 scans/program
+# makes kernel programs spatially tighter on the racing workload — more
+# hit the thin culled windows (583k -> 600k env-steps/s at ts=1.25) —
+# and the 1.25 m culling grid beat 1.7/2.0/2.5 in the round-3 sweep.
+# Must be set before the package import reads it.
+os.environ.setdefault("F1TENTH_PALLAS_EA", "8")
+
 import jax
 
 # Persistent compilation cache: the axon remote-compile path costs minutes
@@ -170,7 +177,7 @@ def main():
                             extract_segments=(engine in ("segments", "pallas")),
                             tile_culling=(engine == "pallas"),
                             culling_tile_size=float(
-                                os.environ.get("BENCH_CULL_TS", 2.5)))
+                                os.environ.get("BENCH_CULL_TS", 1.25)))
         # racing workload: cars spawn ON the track corridor (the connected
         # free component of the reference start pose) in adjacent pairs,
         # matching the reference's start-grid convention
@@ -217,9 +224,7 @@ def main():
             pal = scan_pallas(check_poses, md.seg_table, tables, num_beams,
                               cfg.theta_dis, tile_tables=md.tile_tables,
                               tile_ngroups=md.tile_ngroups,
-                              tile_meta=md.tile_meta,
-                              tile_tables4=md.tile_tables4,
-                              tile_ngroups4=md.tile_ngroups4)
+                              tile_meta=md.tile_meta)
             return float(jnp.mean((march - pal) ** 2))
 
         bench_map_name = os.path.splitext(os.path.basename(map_path))[0]

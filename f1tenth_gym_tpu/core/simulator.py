@@ -160,8 +160,6 @@ def sim_step(
             tile_tables=map_data.tile_tables,
             tile_ngroups=map_data.tile_ngroups,
             tile_meta=map_data.tile_meta,
-            tile_tables4=map_data.tile_tables4,
-            tile_ngroups4=map_data.tile_ngroups4,
         )  # (A, B)
     elif engine == "segments":
         if map_data.segments is None:

@@ -47,34 +47,36 @@ _EPS = 1e-6
 
 
 class TileTables(NamedTuple):
-    """Packed multi-window segment tables for the Pallas kernel.
+    """Packed multi-window segment tables for the Pallas kernel (v7).
 
-    Three window sizes, all indexed by LOWER-LEFT tile (i, j) = t:
-    ``tables[t]`` is the 2x2-tile window union (covers programs whose
-    scans span <= 1 tile in each axis starting at (i, j));
-    ``tables[n_tiles + t]`` the single-tile (1x1) set; ``tables4[t]`` the
-    4x4 window union (spread <= 3 tiles). Programs pick the tightest
-    window that covers them, else the full set. Smaller windows are the
-    point: visibility from a 2x2 window of fine tiles is far thinner than
-    from the 3x3 coarse neighborhood it replaces. The full fallback table
-    is NOT stored here (the kernel carries it as its own input, and
-    tables4 is its own array so the wide 4x4 rows don't pad the fine
-    tables). ngroups keeps the round-1 indexing convention: ngroups[0] is
-    the FULL set's group count, ngroups[1 + b] block b's; ngroups4[t] is
-    tables4[t]'s. -1 = sentinel: that window culled nothing, use the
-    full table.
+    Three window sizes in ONE array, all indexed by LOWER-LEFT tile
+    (i, j) = t: ``tables[t]`` is the 2x2-tile window union (covers scan
+    groups spanning <= 1 tile per axis starting at (i, j));
+    ``tables[n_tiles + t]`` the single-tile (1x1) set;
+    ``tables[2*n_tiles + t]`` the 4x4 window union (spread <= 3 tiles).
+    Each 8-scan kernel SUBGROUP picks the tightest window covering it,
+    else the full set. Smaller windows are the point: visibility from a
+    2x2 window of fine tiles is far thinner than from the 3x3 coarse
+    neighborhood it replaced in round 2. The single array (rather than the
+    earlier fine/4x4 split) lets every subgroup's scalar-prefetch block
+    index address ANY tier through one kernel input; the fine and 4x4 row
+    counts measured within ~5% of each other, so the shared padding costs
+    almost nothing. The full fallback table is still NOT stored here (the
+    kernel carries it as its own input, so multi-map worlds don't pad the
+    windows to the full set's row count). ngroups keeps the round-1
+    indexing convention: ngroups[0] is the FULL set's group count,
+    ngroups[1 + b] block b's. -1 = sentinel: that window culled nothing,
+    use the full table.
     """
 
-    tables: np.ndarray     # (2*n_tiles, Kmax_tile, 8) f32 kernel rows
-    ngroups: np.ndarray    # (2*n_tiles + 1,) i32 group counts (see above)
+    tables: np.ndarray     # (3*n_tiles, Kmax_tile, 8) f32 kernel rows
+    ngroups: np.ndarray    # (3*n_tiles + 1,) i32 group counts (see above)
     x0: float              # grid origin (world frame)
     y0: float
     tile_size: float
     nx: int                # grid dims
     ny: int
     neighborhood: int      # kept for meta compat (max covered spread = 3)
-    tables4: np.ndarray = None   # (n_tiles, Kmax4, 8)
-    ngroups4: np.ndarray = None  # (n_tiles,) i32
 
 
 def _cross(ax, ay, bx, by):
@@ -261,17 +263,17 @@ def build_tile_tables(
     measured a net LOSS on the reference maps (visible walls inflate row
     counts more than occluded ones shrink), so default off.
 
-    Three window sizes per lower-left tile: 1x1 (thinnest, programs inside
-    one tile), 2x2 (programs spanning <= 1 tile per axis — covers every
-    single-boundary straddle, unlike a center-indexed 3x3 at 2.25x the
-    area), and 4x4 (drifted programs). The full set is NOT stored here —
-    the kernel keeps it as its own resident input (pallas_scan segf_ref) —
-    and the 4x4 tables live in their own array so their larger row counts
-    don't pad the fine tables (on multi-map worlds this keeps memory ~6x
-    down and the grid fine). ngroups[0] is the full set's group count; a
-    window whose culled set is no smaller than the full set stores the
-    sentinel -1 and is served the full table. Grows tile_size if the
-    packed tables would exceed max_bytes.
+    Three window sizes per lower-left tile in one block-indexable array
+    (see TileTables): 1x1 (thinnest, scan subgroups inside one tile), 2x2
+    (subgroups spanning <= 1 tile per axis — covers every single-boundary
+    straddle, unlike a center-indexed 3x3 at 2.25x the area), and 4x4
+    (drifted subgroups). The full set is NOT stored here — the kernel
+    keeps it as its own resident input (pallas_scan segf_ref), so
+    multi-map worlds don't pad the windows to the full set's row count.
+    ngroups[0] is the full set's group count; a window whose culled set is
+    no smaller than the full set stores the sentinel -1 and is served the
+    full table. Grows tile_size if the packed tables would exceed
+    max_bytes.
 
     neighborhood is kept in the meta for compatibility; coverage is now
     fixed by the window sizes (max covered spread: 3 tiles).
@@ -294,36 +296,42 @@ def build_tile_tables(
         u2 = _window_union(v, 2)
         u4 = _window_union(v, 4)
         cap = len(full)
-        kmax = int(min(max(u2.sum(-1).max(), v.sum(-1).max()), cap))
-        kmax4 = int(min(u4.sum(-1).max(), cap))
+        kmax = int(min(max(u2.sum(-1).max(), v.sum(-1).max(),
+                           u4.sum(-1).max()), cap))
         kmax_pad = max(GROUP, ((kmax + GROUP - 1) // GROUP) * GROUP)
-        kmax4_pad = max(GROUP, ((kmax4 + GROUP - 1) // GROUP) * GROUP)
-        if (2 * kmax_pad + kmax4_pad) * nx * ny * 32 <= max_bytes:
+        if 3 * kmax_pad * nx * ny * 32 <= max_bytes:
             break
         tile_size *= 1.5  # coarser grid: fewer tables, bigger each
 
     T = nx * ny
-    tables = np.zeros((2 * T, kmax_pad, 8), np.float32)
-    tables4 = np.zeros((T, kmax4_pad, 8), np.float32)
+    tables = np.zeros((3 * T, kmax_pad, 8), np.float32)
     # empty-group padding rows: never-valid (see build_seg_table)
-    for arr in (tables, tables4):
-        arr[:, :, 2] = 1.0
-        arr[:, :, 5] = 10.0
-    ngroups = np.zeros(2 * T + 1, np.int32)
-    ngroups4 = np.zeros(T, np.int32)
+    tables[:, :, 2] = 1.0
+    tables[:, :, 5] = 10.0
+    ngroups = np.zeros(3 * T + 1, np.int32)
     ngroups[0] = len(full) // GROUP
     flat2 = u2.reshape(T, -1)
     flat1 = vis
     flat4 = u4.reshape(T, -1)
 
+    # adjacent tiles (and a tile vs its windows) frequently share the exact
+    # same visible set on corridor maps — build each UNIQUE set once
+    # (5-10x fewer build_seg_table calls; makes fine grids on multi-track
+    # worlds build in seconds instead of minutes)
+    built = {}
+
     def pack(flat_t, arr, out, t):
-        sel = segs[flat_t]
-        if len(sel) == 0:
+        sel_idx = np.flatnonzero(flat_t)
+        if len(sel_idx) == 0:
             # a window with nothing visible (deep inside a wall): keep one
             # padding group so the kernel loop body stays non-degenerate
             out[t] = 1
             return
-        tab = build_seg_table(sel)
+        key = sel_idx.tobytes()
+        tab = built.get(key)
+        if tab is None:
+            tab = build_seg_table(segs[sel_idx])
+            built[key] = tab
         if len(tab) >= len(full):
             # culling bought nothing here — the kernel serves the full
             # table for this window (sentinel; no redundant copy stored)
@@ -334,12 +342,14 @@ def build_tile_tables(
 
     ng1 = np.zeros(T, np.int32)
     ng2 = np.zeros(T, np.int32)
+    ng4 = np.zeros(T, np.int32)
     for t in range(T):
         pack(flat2[t], tables[:T], ng2, t)
-        pack(flat1[t], tables[T:], ng1, t)
-        pack(flat4[t], tables4, ngroups4, t)
+        pack(flat1[t], tables[T:2 * T], ng1, t)
+        pack(flat4[t], tables[2 * T:], ng4, t)
     ngroups[1:1 + T] = ng2
-    ngroups[1 + T:] = ng1
+    ngroups[1 + T:1 + 2 * T] = ng1
+    ngroups[1 + 2 * T:] = ng4
     return TileTables(
         tables=tables,
         ngroups=ngroups,
@@ -349,8 +359,6 @@ def build_tile_tables(
         nx=nx,
         ny=ny,
         neighborhood=3,
-        tables4=tables4,
-        ngroups4=ngroups4,
     )
 
 
@@ -369,7 +377,7 @@ def build_tile_tables_cached(
     Set cache_dir=None for $F1TENTH_TPU_CACHE or ~/.cache/f1tenth_gym_tpu.
     """
     segs = np.ascontiguousarray(np.asarray(segments, np.float64))
-    h = hashlib.sha1(b"tile-tables-v6")  # bump on algorithm changes
+    h = hashlib.sha1(b"tile-tables-v7")  # bump on algorithm changes
     h.update(segs.tobytes())
     h.update(np.float64([max_range, tile_size, neighborhood]).tobytes())
     key = h.hexdigest()[:16]
@@ -385,7 +393,6 @@ def build_tile_tables_cached(
             y0=float(z["y0"]), tile_size=float(z["tile_size"]),
             nx=int(z["nx"]), ny=int(z["ny"]),
             neighborhood=int(z["neighborhood"]),
-            tables4=z["tables4"], ngroups4=z["ngroups4"],
         )
     tt = build_tile_tables(segs, max_range, tile_size=tile_size,
                            neighborhood=neighborhood)
@@ -393,7 +400,6 @@ def build_tile_tables_cached(
     tmp = path + f".tmp{os.getpid()}.npz"  # np.savez appends .npz itself
     np.savez(tmp[:-4], tables=tt.tables, ngroups=tt.ngroups, x0=tt.x0,
              y0=tt.y0, tile_size=tt.tile_size, nx=tt.nx, ny=tt.ny,
-             neighborhood=tt.neighborhood, tables4=tt.tables4,
-             ngroups4=tt.ngroups4)
+             neighborhood=tt.neighborhood)
     os.replace(tmp, path)
     return tt

@@ -52,7 +52,14 @@ per-row processing forfeits the splat/fetch amortization over all 144
 (scan,row) pairs that makes this kernel fast, and data-dependent group
 indices defeat Mosaic's pipelining; (b) per-(group,scan,row) sector
 bitmask predication (@pl.when on a scalar bit test) — exact, 4.4x slower:
-a predicated region costs ~26 cycles vs the ~6-cycle tile body it skips.
+a predicated region costs ~26 cycles vs the ~6-cycle tile body it skips;
+(c) REGISTER-CARRIED accumulation (round 3: scan loop outer, group loop
+inner, the R candidate tiles as fori_loop carries, out reduction fused
+into the sweep, no acc scratch at all) — exact, 3.7x SLOWER (583k ->
+158k env-steps/s end to end): 9 live (8,128) carries + splat temps blow
+the vector register budget, Mosaic spills the carries through memory
+every fori iteration, which costs far more than the acc load+store pair
+it was meant to remove. The acc-scratch structure below stands.
 
 Measured cost structure at K=218 (v5e, 8192 scans): group loop ~300 us per
 8-segment group, already at ~3.9/4 VPU issue slots per cycle — the loop is
@@ -76,11 +83,16 @@ from f1tenth_gym_tpu.state import ScanTables
 
 TWO_PI = 2.0 * np.pi
 LANES = 128
-# (env, agent) scans per grid program. 16 amortizes per-program fixed costs
-# best at round-2 table widths; smaller EA makes programs spatially tighter
-# (more hit the thin 1x1/2x2 culled windows) at equal fixed cost — the
-# env knob exists for tuning sweeps on new workloads.
-EA = int(os.environ.get("F1TENTH_PALLAS_EA", "16"))
+# (env, agent) scans per grid program. The round-3 phase breakdown measured
+# ~4.8 us of per-PROGRAM grid overhead (dirs phase at 1024 programs: 4.9 ms
+# vs 2.5 ms at 512) — so scans/program wants to be LARGE — while culled
+# window tightness wants scan groups SMALL (mean swept groups 13.8 at 8
+# scans/group vs 15.5 at 16, tools/culling_stats.py). The kernel decouples
+# the two: EA scans share one grid program (amortizing the overhead), and
+# each SUB=8-scan SUBGROUP selects its own culled window table via its own
+# scalar-prefetch block index. The env knob exists for tuning sweeps.
+EA = int(os.environ.get("F1TENTH_PALLAS_EA", "32"))
+SUB = 8         # scans per table-selection subgroup (EA % SUB == 0)
 GROUP = 8       # segments per group (one sublane tile)
 
 
@@ -124,29 +136,33 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, bid4_ref, ng_ref,
-                 orig_ref, nb_ref, segf_ref, segt_ref, seg4_ref, out_ref,
-                 acc, dirb):
-    """One program: EA scans of R*128 beams against its segment groups.
+def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, ng_ref,
+                 orig_ref, nb_ref, segf_ref, *rest):
+    """One program: EA scans of R*128 beams, each SUB-scan subgroup
+    sweeping its own culled segment table.
 
-    bid_ref/bid4_ref (n_prog,) i32 SMEM (scalar-prefetch): per-program
-    table choice — bid > 0 sweeps fine window table bid-1 (the 2x2/1x1
-    pack) via segt_ref's prefetch-indexed block, bid4 > 0 sweeps 4x4
-    window table bid4-1 via seg4_ref, both 0 sweeps the FULL fallback
-    table segf_ref (its own input, resident: constant block index)
-    (ops/culling.py). Keeping the full table and the wide 4x4 tables out
-    of the fine array means the fine tables are padded only to the largest
-    FINE window's row count — on multi-map worlds that is ~6x less memory
-    and lets the tile grid stay fine.
-    ng_ref (n_prog,) i32 SMEM: per-program segment-group count (dynamic
-    fori_loop trip count — culled tables sweep only their own groups).
+    bid_ref (n_prog * S,) i32 SMEM (scalar-prefetch), S = EA // SUB
+    subgroups per program: per-SUBGROUP table choice — bid > 0 sweeps
+    window table bid-1 of the merged 2x2/1x1/4x4 pack (ops/culling.py
+    v7) via that subgroup's prefetch-indexed block (the same tile array
+    is passed S times, once per subgroup input, so each subgroup DMAs its
+    own block); bid == 0 sweeps the FULL fallback table segf_ref (its own
+    resident input — multi-map worlds don't pad the window tables to the
+    full set's row count). Per-subgroup selection is the round-3 key: it
+    gives the culled-window tightness of small programs AND the
+    per-program grid-overhead amortization of large ones (~4.8 us per
+    program, 73% of kernel time when EA was dropped to 8).
+    ng_ref (n_prog * S,) i32 SMEM: per-subgroup segment-group count
+    (dynamic fori_loop trip count — culled tables sweep only their own
+    groups).
     orig_ref (1,EA,8) f32 SMEM rows
     [ox, oy, ti0, angle_inc_bins, cos(ti0*binrad), sin(ti0*binrad), 0, 0];
     nb_ref (RG*2*8, 128) f32 VMEM: the scan-independent beam-fan tables
     cos(n*beta) / sin(n*beta) for beam index n (beta = angle increment in
     radians), one cos + one sin (8,128) tile per rowgroup;
-    segf_ref (1,Kfull,8), segt_ref (1,Kt,8) f32 VMEM (double-buffered DMA);
-    out (EA,R,128) f32; acc scratch (EA*R*8, 128) f32;
+    segf_ref (1,Kfull,8) + S per-subgroup (1,Kt,8) f32 VMEM blocks
+    (double-buffered DMA; `rest` = S subgroup table refs, out_ref, acc,
+    dirb); out (EA,R,128) f32; acc scratch (EA*R*8, 128) f32;
     dirb scratch (EA*ceil(R/8)*2*8, 128) f32 — beam dirs COMPUTED IN-KERNEL
     WITHOUT transcendentals (round 2: the stock cos/sin dominated the
     kernel's fixed cost). The theta-LUT discretization
@@ -162,6 +178,10 @@ def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, bid4_ref, ng_ref,
     the (8,128) segment splats (cheap, unlike lane broadcasts).
     """
     from jax.experimental import pallas as pl
+
+    S = EA // SUB
+    segt_refs = rest[:S]
+    out_ref, acc, dirb = rest[S:]
 
     zero = jnp.float32(0.0)
     one = jnp.float32(1.0)
@@ -195,7 +215,7 @@ def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, bid4_ref, ng_ref,
             dirb[d0:d0 + GROUP, :] = cos_t * cg + sin_t * g
             dirb[d0 + GROUP:d0 + 2 * GROUP, :] = sin_t * cg - cos_t * g
 
-    def process_group(seg_ref, g, first):
+    def process_group(seg_ref, ea0, g, first):
         # INVERSE-RANGE formulation (round 2, measured faster than the direct
         # t = num/den form): accumulate s = 1/t = den/num with MAX instead of
         # t with MIN. 1/num depends only on (segment, scan-origin), so the
@@ -217,7 +237,7 @@ def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, bid4_ref, ng_ref,
         ny = jnp.broadcast_to(tb[:, 1:2], (GROUP, LANES))
         tx = jnp.broadcast_to(tb[:, 3:4], (GROUP, LANES))
         ty = jnp.broadcast_to(tb[:, 4:5], (GROUP, LANES))
-        for ea in range(EA):
+        for ea in range(ea0, ea0 + SUB):
             ox = orig_ref[0, ea, 0]
             oy = orig_ref[0, ea, 1]
             num8 = tb[:, 2:3] - ox * tb[:, 0:1] - oy * tb[:, 1:2]
@@ -263,30 +283,30 @@ def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, bid4_ref, ng_ref,
                     jnp.zeros((GROUP * GROUP, LANES), jnp.float32))
     else:
         # ngroups >= 1 always (ops/culling.py keeps one padding group even
-        # for all-wall tiles), so group 0 can be peeled unconditionally. The
-        # table choice predicates ONCE per program — negligible next to the
-        # sweep it selects.
-        bid = bid_ref[pl.program_id(0)]
-        bid4 = bid4_ref[pl.program_id(0)]
-        ng = ng_ref[pl.program_id(0)]
+        # for all-wall tiles), so group 0 can be peeled unconditionally.
+        # Each SUB-scan subgroup sweeps its own table: the choice
+        # predicates once per subgroup — negligible next to the sweep it
+        # selects.
+        for s in range(S):
+            bid = bid_ref[pl.program_id(0) * S + s]
+            ng = ng_ref[pl.program_id(0) * S + s]
+            ea0 = s * SUB
 
-        def sweep(seg_ref):
-            process_group(seg_ref, 0, True)
-            jax.lax.fori_loop(
-                1, ng, lambda g, _: (process_group(seg_ref, g, False), 0)[1],
-                0)
+            def sweep(seg_ref, _ea0=ea0, _ng=ng):
+                process_group(seg_ref, _ea0, 0, True)
+                jax.lax.fori_loop(
+                    1, _ng,
+                    lambda g, _: (process_group(seg_ref, _ea0, g, False),
+                                  0)[1],
+                    0)
 
-        @pl.when((bid == 0) & (bid4 == 0))
-        def _():
-            sweep(segf_ref)
+            @pl.when(bid == 0)
+            def _(_sweep=sweep):
+                _sweep(segf_ref)
 
-        @pl.when(bid != 0)
-        def _():
-            sweep(segt_ref)
-
-        @pl.when(bid4 != 0)
-        def _():
-            sweep(seg4_ref)
+            @pl.when(bid != 0)
+            def _(_sweep=sweep, _s=s):
+                _sweep(segt_refs[_s])
 
     if "out" not in phases:
         out_ref[0:GROUP, :] = acc[0:GROUP, :]
@@ -324,11 +344,9 @@ def scan_pallas(
     theta_dis: int,
     interpret: bool = False,
     phases: str = "dirs,sweep,out",  # debug-only phase mask (see kernel)
-    tile_tables: jnp.ndarray = None,   # (2*n_tiles, Kmax, 8), ops/culling.py
-    tile_ngroups: jnp.ndarray = None,  # (2*n_tiles + 1,) i32
+    tile_tables: jnp.ndarray = None,   # (3*n_tiles, Kmax, 8), ops/culling.py
+    tile_ngroups: jnp.ndarray = None,  # (3*n_tiles + 1,) i32
     tile_meta: jnp.ndarray = None,     # (6,) [x0, y0, 1/ts, nx, ny, r]
-    tile_tables4: jnp.ndarray = None,  # (n_tiles, Kmax4, 8)
-    tile_ngroups4: jnp.ndarray = None,  # (n_tiles,) i32
 ) -> jnp.ndarray:
     """Batched LiDAR scan -> (..., num_beams) ranges.
 
@@ -336,14 +354,15 @@ def scan_pallas(
     the batch is flattened, padded to a multiple of EA, and fed to the grid.
     Set interpret=True on CPU (tests).
 
-    With the multi-window tables built by ops.culling.build_tile_tables
-    (format v6: 2x2/1x1 windows in tile_tables, 4x4 in tile_tables4, all
-    indexed by lower-left tile), each 16-scan program sweeps only the
-    segments provably visible from the TIGHTEST window covering its scans
-    — 1x1 when they share a tile, else 2x2 when they span <= 1 tile per
-    axis, else 4x4, else the full table — exact in every case.
-    Locality-sort the env batch (parallel.vector.sort_envs_for_locality
-    with the map's tile grid) to keep programs tile-pure.
+    With the merged multi-window tables built by
+    ops.culling.build_tile_tables (format v7: 2x2 / 1x1 / 4x4 window
+    blocks in one array, indexed by lower-left tile), each SUB=8-scan
+    SUBGROUP of a program sweeps only the segments provably visible from
+    the TIGHTEST window covering it — 1x1 when its scans share a tile,
+    else 2x2 when they span <= 1 tile per axis, else 4x4, else the full
+    table — exact in every case. Locality-sort the env batch
+    (parallel.vector.sort_envs_for_locality with the map's tile grid) to
+    keep subgroups tile-pure.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -389,72 +408,73 @@ def scan_pallas(
 
     grid = (n_pad // EA,)
     n_prog = grid[0]
+    S = EA // SUB
+    nsub = n_prog * S
     Kf = seg_table.shape[0]
     full = seg_table[None]  # (1, Kf, 8)
-    dummy = jnp.zeros((1, GROUP, 8), jnp.float32
-                      ).at[:, :, 2].set(1.0).at[:, :, 5].set(10.0)
     if tile_tables is None:
         # never-matching padding rows (see build_seg_table): the tile
-        # inputs are tiny dummy blocks, every program sweeps the full table
-        tabs = tabs4 = dummy
-        bid = bid4 = jnp.zeros((n_prog,), jnp.int32)
-        ng = jnp.full((n_prog,), Kf // GROUP, jnp.int32)
+        # input is a tiny dummy block, every subgroup sweeps the full table
+        tabs = jnp.zeros((1, GROUP, 8), jnp.float32
+                         ).at[:, :, 2].set(1.0).at[:, :, 5].set(10.0)
+        bid = jnp.zeros((nsub,), jnp.int32)
+        ng = jnp.full((nsub,), Kf // GROUP, jnp.int32)
     else:
         tabs = tile_tables
-        tabs4 = dummy if tile_tables4 is None else tile_tables4
         x0, y0, inv_ts = tile_meta[0], tile_meta[1], tile_meta[2]
         nx = tile_meta[3].astype(jnp.int32)
         ny = tile_meta[4].astype(jnp.int32)
         ti = jnp.floor((p[:, 0] - x0) * inv_ts).astype(jnp.int32)
         tj = jnp.floor((p[:, 1] - y0) * inv_ts).astype(jnp.int32)
-        tig = ti.reshape(n_prog, EA)
-        tjg = tj.reshape(n_prog, EA)
+        tig = ti.reshape(nsub, SUB)
+        tjg = tj.reshape(nsub, SUB)
         ti_lo, ti_hi = tig.min(-1), tig.max(-1)
         tj_lo, tj_hi = tjg.min(-1), tjg.max(-1)
         in_grid = (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
         sx = ti_hi - ti_lo
         sy = tj_hi - tj_lo
-        # tightest window indexed by the program's LOWER-LEFT tile: 1x1
-        # when all scans share a tile, 2x2 for spread <= 1 per axis, 4x4
-        # for spread <= 3, else the full set (also on sentinel -1 = that
-        # window's table would be no smaller than the full set)
-        T = tile_tables.shape[0] // 2
+        # tightest window indexed by the subgroup's LOWER-LEFT tile: 1x1
+        # when all its scans share a tile, 2x2 for spread <= 1 per axis,
+        # 4x4 for spread <= 3, else the full set (also on sentinel -1 =
+        # that window's table would be no smaller than the full set)
+        T = tile_tables.shape[0] // 3
         tidx = jnp.clip(tj_lo * nx + ti_lo, 0, T - 1)
         ng_w2 = tile_ngroups[1 + tidx].astype(jnp.int32)
         ng_w1 = tile_ngroups[1 + T + tidx].astype(jnp.int32)
-        if tile_ngroups4 is None:
-            ng_w4 = jnp.zeros_like(ng_w2)
-        else:
-            ng_w4 = tile_ngroups4[tidx].astype(jnp.int32)
+        ng_w4 = tile_ngroups[1 + 2 * T + tidx].astype(jnp.int32)
         use1 = in_grid & (sx == 0) & (sy == 0) & (ng_w1 > 0)
         use2 = in_grid & (sx <= 1) & (sy <= 1) & (ng_w2 > 0) & ~use1
         use4 = (in_grid & (sx <= 3) & (sy <= 3) & (ng_w4 > 0)
                 & ~use1 & ~use2)
-        bid = jnp.where(use1, 1 + T + tidx, jnp.where(use2, 1 + tidx, 0))
-        bid4 = jnp.where(use4, 1 + tidx, 0)
+        bid = jnp.where(use1, 1 + T + tidx,
+                        jnp.where(use2, 1 + tidx,
+                                  jnp.where(use4, 1 + 2 * T + tidx, 0)))
         ng = jnp.where(use1, ng_w1,
                        jnp.where(use2, ng_w2,
                                  jnp.where(use4, ng_w4, Kf // GROUP)))
 
     Kt = tabs.shape[1]
-    K4 = tabs4.shape[1]
     kern = functools.partial(_scan_kernel, R, theta_dis, num_beams,
                              tuple(phases.split(",")))
 
+    # one BlockSpec per SUB-scan subgroup, all slicing the SAME merged
+    # window array: subgroup s of program g DMAs block bid[g*S+s]-1
+    sub_specs = [
+        pl.BlockSpec(
+            (1, Kt, 8),
+            lambda g, b, m, _s=s: (jnp.maximum(b[g * S + _s] - 1, 0), 0, 0))
+        for s in range(S)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, EA, 8), lambda g, b, b4, m: (g, 0, 0),
+            pl.BlockSpec((1, EA, 8), lambda g, b, m: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b, b4, m: (0, 0)),
-            pl.BlockSpec((1, Kf, 8), lambda g, b, b4, m: (0, 0, 0)),
-            pl.BlockSpec((1, Kt, 8),
-                         lambda g, b, b4, m: (jnp.maximum(b[g] - 1, 0), 0, 0)),
-            pl.BlockSpec((1, K4, 8),
-                         lambda g, b, b4, m: (jnp.maximum(b4[g] - 1, 0), 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((EA * R, LANES), lambda g, b, b4, m: (g, 0)),
+            pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b, m: (0, 0)),
+            pl.BlockSpec((1, Kf, 8), lambda g, b, m: (0, 0, 0)),
+        ] + sub_specs,
+        out_specs=pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0)),
         scratch_shapes=[
             pltpu.VMEM((EA * R * GROUP, LANES), jnp.float32),
             pltpu.VMEM((EA * RG * 2 * GROUP, LANES), jnp.float32)],
@@ -464,7 +484,11 @@ def scan_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32),
         interpret=interpret,
-    )(bid, bid4, ng, scalars.reshape(n_prog, EA, 8), nb, full, tabs, tabs4)
+        # grid programs are independent: lets Mosaic pipeline the next
+        # program's (prefetch-indexed) table DMAs under this one's sweep
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(bid, ng, scalars.reshape(n_prog, EA, 8), nb, full, *([tabs] * S))
 
     # the kernel's out phase already emitted final clamped ranges
     out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
@@ -473,12 +497,11 @@ def scan_pallas(
 
 def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
                           interpret=False, tile_tables=None,
-                          tile_ngroups=None, tile_meta=None,
-                          tile_tables4=None, tile_ngroups4=None):
+                          tile_ngroups=None, tile_meta=None):
     """scan_pallas that collapses under jax.vmap into ONE pallas call.
 
     jax's default pallas batching rule adds a grid dimension per vmap level,
-    which at (A=2)-sized inner batches pads every program to EA=16 scans (8x
+    which at (A=2)-sized inner batches pads every program to EA scans (16x
     wasted compute) and explodes the program count. The custom_vmap rule
     instead folds every batch axis into the kernel's own flat batch.
     """
@@ -487,9 +510,7 @@ def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
     def fn(p):
         return scan_pallas(p, seg_table, tables, num_beams, theta_dis,
                            interpret=interpret, tile_tables=tile_tables,
-                           tile_ngroups=tile_ngroups, tile_meta=tile_meta,
-                           tile_tables4=tile_tables4,
-                           tile_ngroups4=tile_ngroups4)
+                           tile_ngroups=tile_ngroups, tile_meta=tile_meta)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, p):  # noqa: ANN001

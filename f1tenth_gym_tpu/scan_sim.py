@@ -124,8 +124,7 @@ class ScanSimulator2D:
                 self.theta_dis,
                 interpret=(jax.default_backend() != "tpu"),
                 tile_tables=m.tile_tables, tile_ngroups=m.tile_ngroups,
-                tile_meta=m.tile_meta, tile_tables4=m.tile_tables4,
-                tile_ngroups4=m.tile_ngroups4)
+                tile_meta=m.tile_meta)
         if self.engine == "segments":
             from f1tenth_gym_tpu.ops.segments import get_scan_segments
 

@@ -71,7 +71,6 @@ def make_map_data(
     segments = None
     seg_table = None
     tile_tables = tile_ngroups = tile_meta = None
-    tile_tables4 = tile_ngroups4 = None
     if extract_segments:
         from f1tenth_gym_tpu.ops.pallas_scan import build_seg_table
         from f1tenth_gym_tpu.ops.segments import segments_from_map
@@ -93,8 +92,6 @@ def make_map_data(
             tile_meta = jnp.asarray(
                 [tt.x0, tt.y0, 1.0 / tt.tile_size, tt.nx, tt.ny,
                  tt.neighborhood], dtype=jnp.float32)
-            tile_tables4 = jnp.asarray(tt.tables4)
-            tile_ngroups4 = jnp.asarray(tt.ngroups4)
     return MapData(
         dt=jnp.asarray(dt, dtype=dtype),
         orig_x=jnp.asarray(origin[0], dtype=dtype),
@@ -107,8 +104,6 @@ def make_map_data(
         tile_tables=tile_tables,
         tile_ngroups=tile_ngroups,
         tile_meta=tile_meta,
-        tile_tables4=tile_tables4,
-        tile_ngroups4=tile_ngroups4,
     )
 
 

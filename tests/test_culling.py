@@ -63,9 +63,9 @@ def test_tile_tables_shapes(culled_map):
     n_blocks, kmax, eight = m.tile_tables.shape
     assert eight == 8 and kmax % GROUP == 0
     meta = np.asarray(m.tile_meta)
-    # multi-window pack: 2x2-union tables then 1x1 tables
+    # merged multi-window pack (v7): 2x2-union, then 1x1, then 4x4 blocks
     T = int(meta[3]) * int(meta[4])
-    assert n_blocks == 2 * T
+    assert n_blocks == 3 * T
     ng = np.asarray(m.tile_ngroups)
     assert len(ng) == n_blocks + 1 and ng[0] >= 1
     # tile entries: -1 = full-table sentinel, else 1..kmax/8 groups
@@ -74,17 +74,12 @@ def test_tile_tables_shapes(culled_map):
     assert real.min() >= 1 and real.max() * GROUP <= kmax
     # culling must actually bite somewhere
     assert real.min() < ng[0]
-    # 4x4 windows: own array, own group counts
-    n4, kmax4, eight4 = m.tile_tables4.shape
-    assert n4 == T and eight4 == 8 and kmax4 % GROUP == 0
-    ng4 = np.asarray(m.tile_ngroups4)
-    real4 = ng4[ng4 >= 0]
-    assert len(ng4) == T and real4.min() >= 1
-    assert real4.max() * GROUP <= kmax4
-    # a 1x1 window's set is a subset of its 2x2 union where both are real
-    w2, w1 = ng[1:1 + T], ng[1 + T:]
+    # window monotonicity where all tiers are real: 1x1 <= 2x2 <= 4x4
+    w2, w1, w4 = ng[1:1 + T], ng[1 + T:1 + 2 * T], ng[1 + 2 * T:]
     both = (w1 > 0) & (w2 > 0)
     assert np.all(w1[both] <= w2[both])
+    both24 = (w2 > 0) & (w4 > 0)
+    assert np.all(w2[both24] <= w4[both24])
 
 
 def test_culled_scan_bitwise_equals_full(culled_map):
@@ -129,9 +124,7 @@ def test_culled_scan_bitwise_equals_full(culled_map):
     full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
     cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
                        tile_tables=m.tile_tables,
-                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
-                       tile_tables4=m.tile_tables4,
-                       tile_ngroups4=m.tile_ngroups4)
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta)
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -152,9 +145,7 @@ def test_out_of_grid_falls_back_exactly(culled_map):
     full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
     cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
                        tile_tables=m.tile_tables,
-                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
-                       tile_tables4=m.tile_tables4,
-                       tile_ngroups4=m.tile_ngroups4)
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta)
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -206,9 +197,7 @@ def test_each_window_size_bitwise(culled_map):
     full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
     cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
                        tile_tables=m.tile_tables,
-                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
-                       tile_tables4=m.tile_tables4,
-                       tile_ngroups4=m.tile_ngroups4)
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta)
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -222,8 +211,6 @@ def test_build_deterministic():
     b = build_tile_tables(segs, 30.0, tile_size=1.0)
     assert np.array_equal(a.tables, b.tables)
     assert np.array_equal(a.ngroups, b.ngroups)
-    assert np.array_equal(a.tables4, b.tables4)
-    assert np.array_equal(a.ngroups4, b.ngroups4)
 
 
 def test_native_umbra_matches_numpy():

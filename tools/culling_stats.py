@@ -26,26 +26,26 @@ import numpy as np  # noqa: E402
 
 from f1tenth_gym_tpu import load_map  # noqa: E402
 from f1tenth_gym_tpu.maps import map_path as bundled_map  # noqa: E402
-from f1tenth_gym_tpu.ops.pallas_scan import EA, GROUP  # noqa: E402
+from f1tenth_gym_tpu.ops.pallas_scan import EA, GROUP, SUB  # noqa: E402
 from f1tenth_gym_tpu.parallel import uniform_pose_sampler  # noqa: E402
 
 
 def stats_for(md, poses):
-    """poses (N, 3) already locality-sorted; returns dict of program stats."""
+    """poses (N, 3) already locality-sorted; returns per-SUBGROUP stats
+    (the kernel selects one culled window per SUB-scan subgroup)."""
     tm = np.asarray(md.tile_meta)
     x0, y0, inv_ts = tm[0], tm[1], tm[2]
     nx, ny = int(tm[3]), int(tm[4])
     T = nx * ny
     ng_all = np.asarray(md.tile_ngroups)
-    ng4_all = np.asarray(md.tile_ngroups4)
     full_ng = int(ng_all[0])
 
     p = np.asarray(poses, np.float32)
     n = len(p)
     n_pad = ((n + EA - 1) // EA) * EA
     p = np.concatenate([p, np.zeros((n_pad - n, 3), np.float32)])
-    ti = np.floor((p[:, 0] - x0) * inv_ts).astype(int).reshape(-1, EA)
-    tj = np.floor((p[:, 1] - y0) * inv_ts).astype(int).reshape(-1, EA)
+    ti = np.floor((p[:, 0] - x0) * inv_ts).astype(int).reshape(-1, SUB)
+    tj = np.floor((p[:, 1] - y0) * inv_ts).astype(int).reshape(-1, SUB)
     ti_lo, ti_hi = ti.min(1), ti.max(1)
     tj_lo, tj_hi = tj.min(1), tj.max(1)
     sx, sy = ti_hi - ti_lo, tj_hi - tj_lo
@@ -53,15 +53,15 @@ def stats_for(md, poses):
     tidx = np.clip(tj_lo * nx + ti_lo, 0, T - 1)
     ng_w2 = ng_all[1 + tidx]
     ng_w1 = ng_all[1 + T + tidx]
-    ng_w4 = ng4_all[tidx]
+    ng_w4 = ng_all[1 + 2 * T + tidx]
     use1 = in_grid & (sx == 0) & (sy == 0) & (ng_w1 > 0)
     use2 = in_grid & (sx <= 1) & (sy <= 1) & (ng_w2 > 0) & ~use1
     use4 = in_grid & (sx <= 3) & (sy <= 3) & (ng_w4 > 0) & ~use1 & ~use2
     ng = np.where(use1, ng_w1,
                   np.where(use2, ng_w2, np.where(use4, ng_w4, full_ng)))
-    n_prog = len(ng)
     return {
-        "programs": n_prog,
+        "programs": n_pad // EA,
+        "subgroups": len(ng),
         "w1": int(use1.sum()), "w2": int(use2.sum()),
         "w4": int(use4.sum()),
         "full": int((~(use1 | use2 | use4)).sum()),
@@ -95,11 +95,10 @@ def main():
 
     s = stats_for(md, poses.reshape(-1, 3))
     kmax = md.tile_tables.shape[1] // GROUP
-    kmax4 = md.tile_tables4.shape[1] // GROUP
-    print(f"ts={ts} grid={int(tm[3])}x{int(tm[4])} EA={EA} "
-          f"kmax_fine={kmax}g kmax4={kmax4}g")
-    print(f"programs={s['programs']}  1x1={s['w1']}  2x2={s['w2']}  "
-          f"4x4={s['w4']}  full={s['full']}")
+    print(f"ts={ts} grid={int(tm[3])}x{int(tm[4])} EA={EA} SUB={SUB} "
+          f"kmax={kmax}g")
+    print(f"programs={s['programs']} subgroups={s['subgroups']}  "
+          f"1x1={s['w1']}  2x2={s['w2']}  4x4={s['w4']}  full={s['full']}")
     print(f"mean swept groups/program = {s['mean_ng']:.2f} "
           f"(full set: {s['full_ng']}) -> {s['speedup_vs_full']:.2f}x row cull")
 

@@ -72,8 +72,6 @@ def main():
                                cfg.theta_dis, tile_tables=md.tile_tables,
                                tile_ngroups=md.tile_ngroups,
                                tile_meta=md.tile_meta,
-                               tile_tables4=md.tile_tables4,
-                               tile_ngroups4=md.tile_ngroups4,
                                phases=phases)
         r = f(p)
         _ = float(jnp.sum(r))
