@@ -155,8 +155,9 @@ def main():
     from f1tenth_gym_tpu.tracks.synthetic import ring_map_data, ring_start_poses
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
-    cfg = SimConfig(num_agents=2, num_beams=num_beams, dtype="float32",
-                    scan_engine=engine)
+    num_agents = int(os.environ.get("BENCH_AGENTS", 2))
+    cfg = SimConfig(num_agents=num_agents, num_beams=num_beams,
+                    dtype="float32", scan_engine=engine)
     params = VehicleParams.create(dtype=jnp.float32)
     tables = make_scan_tables(num_beams=num_beams, dtype=jnp.float32)
 

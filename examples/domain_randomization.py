@@ -52,8 +52,9 @@ def main():
     )
 
     t0 = time.time()
-    m, infos = multi_track_map_data(args.tracks, seed=args.seed,
-                                    tile_culling=True)
+    m, infos = multi_track_map_data(
+        args.tracks, seed=args.seed, tile_culling=True,
+        culling_tile_size=float(os.environ.get("BENCH_CULL_TS", 2.5)))
     print(f"# composed {args.tracks} tracks into one "
           f"{m.dt.shape[0]}x{m.dt.shape[1]} world "
           f"({m.seg_table.shape[0]} wall segments) in {time.time()-t0:.1f}s")

@@ -45,6 +45,11 @@ def main():
                    help="force a jax platform (e.g. 'cpu' for interactive use "
                         "— single-env stepping over a remote TPU tunnel pays "
                         "a round trip per step)")
+    p.add_argument("--fused", action="store_true",
+                   help="fuse plan+step into ONE jitted device call per "
+                        "frame (single round trip; obs pulled to host only "
+                        "on render frames) — the fast path for interactive "
+                        "use against a remote/tunneled TPU")
     args = p.parse_args()
 
     if args.platform:
@@ -101,24 +106,51 @@ def main():
 
     lap_time = 0.0
     t0 = time.time()
-    for i in range(args.steps):
-        speed, steer = planner.plan(
-            obs["poses_x"][0], obs["poses_y"][0], obs["poses_theta"][0],
-            args.tlad, args.vgain,
-        )
-        obs, r, done, info = env.step(np.array([[steer, speed]]))
-        lap_time += r
-        if args.render == "human":
-            env.render("human")
-        elif args.render == "rgb" and i % 20 == 0:
-            frame = env.render("rgb_array")
-            from PIL import Image
+    if args.fused:
+        # one device dispatch per frame: plan from the device-resident
+        # state pose + step, check `done` host-side only every few frames
+        step_fn = lambda s, a: env._step_fn(  # noqa: E731
+            s, a, env.params, env.map_data, env.timestep)
+        plan_step = planner.fused_plan_step(step_fn, args.tlad, args.vgain)
+        state = env.state
+        done_dev = None
+        for i in range(args.steps):
+            state, obs_dev, r, done_dev, _ = plan_step(state)
+            if args.render != "none" and i % 20 == 0:
+                env.state = state  # renderer reads the env's state
+                obs = env._host_obs(obs_dev)
+                if args.render == "human":
+                    env.render("human")
+                else:
+                    frame = env.render("rgb_array")
+                    from PIL import Image
 
-            Image.fromarray(frame).save(
-                os.path.join(args.frames_out, f"f{i:05d}.png")
+                    Image.fromarray(frame).save(
+                        os.path.join(args.frames_out, f"f{i:05d}.png"))
+            if i % 20 == 19 and bool(done_dev):
+                break
+        env.state = state
+        obs = env._host_obs(obs_dev)
+        lap_time = float(state.current_time)
+    else:
+        for i in range(args.steps):
+            speed, steer = planner.plan(
+                obs["poses_x"][0], obs["poses_y"][0], obs["poses_theta"][0],
+                args.tlad, args.vgain,
             )
-        if done:
-            break
+            obs, r, done, info = env.step(np.array([[steer, speed]]))
+            lap_time += r
+            if args.render == "human":
+                env.render("human")
+            elif args.render == "rgb" and i % 20 == 0:
+                frame = env.render("rgb_array")
+                from PIL import Image
+
+                Image.fromarray(frame).save(
+                    os.path.join(args.frames_out, f"f{i:05d}.png")
+                )
+            if done:
+                break
     print(
         f"steps={i+1} sim_time={lap_time:.2f}s wall={time.time()-t0:.2f}s "
         f"laps={obs['lap_counts'].tolist()} collisions={obs['collisions'].tolist()} "

@@ -47,36 +47,40 @@ _EPS = 1e-6
 
 
 class TileTables(NamedTuple):
-    """Packed multi-window segment tables for the Pallas kernel (v7).
+    """Packed multi-window segment tables for the Pallas kernel (v8).
 
-    Three window sizes in ONE array, all indexed by LOWER-LEFT tile
+    Four window sizes in ONE array, all indexed by LOWER-LEFT tile
     (i, j) = t: ``tables[t]`` is the 2x2-tile window union (covers scan
     groups spanning <= 1 tile per axis starting at (i, j));
     ``tables[n_tiles + t]`` the single-tile (1x1) set;
-    ``tables[2*n_tiles + t]`` the 4x4 window union (spread <= 3 tiles).
-    Each 8-scan kernel SUBGROUP picks the tightest window covering it,
-    else the full set. Smaller windows are the point: visibility from a
-    2x2 window of fine tiles is far thinner than from the 3x3 coarse
-    neighborhood it replaced in round 2. The single array (rather than the
-    earlier fine/4x4 split) lets every subgroup's scalar-prefetch block
-    index address ANY tier through one kernel input; the fine and 4x4 row
-    counts measured within ~5% of each other, so the shared padding costs
-    almost nothing. The full fallback table is still NOT stored here (the
-    kernel carries it as its own input, so multi-map worlds don't pad the
-    windows to the full set's row count). ngroups keeps the round-1
-    indexing convention: ngroups[0] is the FULL set's group count,
-    ngroups[1 + b] block b's. -1 = sentinel: that window culled nothing,
-    use the full table.
+    ``tables[2*n_tiles + t]`` the 4x4 window union (spread <= 3 tiles);
+    ``tables[3*n_tiles + t]`` the 8x8 union (spread <= 7). Each 8-scan
+    kernel SUBGROUP picks the tightest window covering it, else the full
+    set. Smaller windows are the point: visibility from a 2x2 window of
+    fine tiles is far thinner than from the 3x3 coarse neighborhood it
+    replaced in round 2. The wide 8x8 tier exists for MULTI-TRACK worlds:
+    at the default 2.5 m grid it spans ~20 m — about one whole track cell
+    — so a freshly-reset env that teleported to its start grid (or any
+    drifted subgroup) still sweeps one track's segments instead of the
+    whole world's (the full set is 10-20x wider there). The single array
+    lets every subgroup's scalar-prefetch block index address ANY tier
+    through one kernel input — adding a tier touches only the builder and
+    the host-side selection, never the kernel. The full fallback table is
+    still NOT stored here (the kernel carries it as its own input, so
+    multi-map worlds don't pad the windows to the full set's row count).
+    ngroups keeps the round-1 indexing convention: ngroups[0] is the FULL
+    set's group count, ngroups[1 + b] block b's. -1 = sentinel: that
+    window culled nothing, use the full table.
     """
 
-    tables: np.ndarray     # (3*n_tiles, Kmax_tile, 8) f32 kernel rows
-    ngroups: np.ndarray    # (3*n_tiles + 1,) i32 group counts (see above)
+    tables: np.ndarray     # (4*n_tiles, Kmax_tile, 8) f32 kernel rows
+    ngroups: np.ndarray    # (4*n_tiles + 1,) i32 group counts (see above)
     x0: float              # grid origin (world frame)
     y0: float
     tile_size: float
     nx: int                # grid dims
     ny: int
-    neighborhood: int      # kept for meta compat (max covered spread = 3)
+    neighborhood: int      # kept for meta compat (max covered spread = 7)
 
 
 def _cross(ax, ay, bx, by):
@@ -252,7 +256,7 @@ def build_tile_tables(
     tile_size: float = 2.5,
     neighborhood: int = 1,
     split_len: float = None,
-    max_bytes: int = 256 << 20,
+    max_bytes: int = 1 << 30,
 ) -> TileTables:
     """Build the packed multi-window kernel tables.
 
@@ -263,11 +267,12 @@ def build_tile_tables(
     measured a net LOSS on the reference maps (visible walls inflate row
     counts more than occluded ones shrink), so default off.
 
-    Three window sizes per lower-left tile in one block-indexable array
+    Four window sizes per lower-left tile in one block-indexable array
     (see TileTables): 1x1 (thinnest, scan subgroups inside one tile), 2x2
     (subgroups spanning <= 1 tile per axis — covers every single-boundary
-    straddle, unlike a center-indexed 3x3 at 2.25x the area), and 4x4
-    (drifted subgroups). The full set is NOT stored here — the kernel
+    straddle, unlike a center-indexed 3x3 at 2.25x the area), 4x4
+    (drifted subgroups), and 8x8 (teleported/reset subgroups on
+    multi-track worlds). The full set is NOT stored here — the kernel
     keeps it as its own resident input (pallas_scan segf_ref), so
     multi-map worlds don't pad the windows to the full set's row count.
     ngroups[0] is the full set's group count; a window whose culled set is
@@ -295,24 +300,26 @@ def build_tile_tables(
         v = vis.reshape(ny, nx, -1)
         u2 = _window_union(v, 2)
         u4 = _window_union(v, 4)
+        u8 = _window_union(v, 8)
         cap = len(full)
         kmax = int(min(max(u2.sum(-1).max(), v.sum(-1).max(),
-                           u4.sum(-1).max()), cap))
+                           u4.sum(-1).max(), u8.sum(-1).max()), cap))
         kmax_pad = max(GROUP, ((kmax + GROUP - 1) // GROUP) * GROUP)
-        if 3 * kmax_pad * nx * ny * 32 <= max_bytes:
+        if 4 * kmax_pad * nx * ny * 32 <= max_bytes:
             break
         tile_size *= 1.5  # coarser grid: fewer tables, bigger each
 
     T = nx * ny
-    tables = np.zeros((3 * T, kmax_pad, 8), np.float32)
+    tables = np.zeros((4 * T, kmax_pad, 8), np.float32)
     # empty-group padding rows: never-valid (see build_seg_table)
     tables[:, :, 2] = 1.0
     tables[:, :, 5] = 10.0
-    ngroups = np.zeros(3 * T + 1, np.int32)
+    ngroups = np.zeros(4 * T + 1, np.int32)
     ngroups[0] = len(full) // GROUP
     flat2 = u2.reshape(T, -1)
     flat1 = vis
     flat4 = u4.reshape(T, -1)
+    flat8 = u8.reshape(T, -1)
 
     # adjacent tiles (and a tile vs its windows) frequently share the exact
     # same visible set on corridor maps — build each UNIQUE set once
@@ -343,13 +350,16 @@ def build_tile_tables(
     ng1 = np.zeros(T, np.int32)
     ng2 = np.zeros(T, np.int32)
     ng4 = np.zeros(T, np.int32)
+    ng8 = np.zeros(T, np.int32)
     for t in range(T):
         pack(flat2[t], tables[:T], ng2, t)
         pack(flat1[t], tables[T:2 * T], ng1, t)
-        pack(flat4[t], tables[2 * T:], ng4, t)
+        pack(flat4[t], tables[2 * T:3 * T], ng4, t)
+        pack(flat8[t], tables[3 * T:], ng8, t)
     ngroups[1:1 + T] = ng2
     ngroups[1 + T:1 + 2 * T] = ng1
-    ngroups[1 + 2 * T:] = ng4
+    ngroups[1 + 2 * T:1 + 3 * T] = ng4
+    ngroups[1 + 3 * T:] = ng8
     return TileTables(
         tables=tables,
         ngroups=ngroups,
@@ -358,7 +368,7 @@ def build_tile_tables(
         tile_size=float(tile_size),
         nx=nx,
         ny=ny,
-        neighborhood=3,
+        neighborhood=7,
     )
 
 
@@ -377,7 +387,7 @@ def build_tile_tables_cached(
     Set cache_dir=None for $F1TENTH_TPU_CACHE or ~/.cache/f1tenth_gym_tpu.
     """
     segs = np.ascontiguousarray(np.asarray(segments, np.float64))
-    h = hashlib.sha1(b"tile-tables-v7")  # bump on algorithm changes
+    h = hashlib.sha1(b"tile-tables-v8.1")  # bump on algorithm changes
     h.update(segs.tobytes())
     h.update(np.float64([max_range, tile_size, neighborhood]).tobytes())
     key = h.hexdigest()[:16]

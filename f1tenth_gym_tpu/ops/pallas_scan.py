@@ -143,8 +143,8 @@ def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, ng_ref,
 
     bid_ref (n_prog * S,) i32 SMEM (scalar-prefetch), S = EA // SUB
     subgroups per program: per-SUBGROUP table choice — bid > 0 sweeps
-    window table bid-1 of the merged 2x2/1x1/4x4 pack (ops/culling.py
-    v7) via that subgroup's prefetch-indexed block (the same tile array
+    window table bid-1 of the merged 2x2/1x1/4x4/8x8 pack (ops/culling.py
+    v8) via that subgroup's prefetch-indexed block (the same tile array
     is passed S times, once per subgroup input, so each subgroup DMAs its
     own block); bid == 0 sweeps the FULL fallback table segf_ref (its own
     resident input — multi-map worlds don't pad the window tables to the
@@ -355,12 +355,13 @@ def scan_pallas(
     Set interpret=True on CPU (tests).
 
     With the merged multi-window tables built by
-    ops.culling.build_tile_tables (format v7: 2x2 / 1x1 / 4x4 window
-    blocks in one array, indexed by lower-left tile), each SUB=8-scan
-    SUBGROUP of a program sweeps only the segments provably visible from
-    the TIGHTEST window covering it — 1x1 when its scans share a tile,
-    else 2x2 when they span <= 1 tile per axis, else 4x4, else the full
-    table — exact in every case. Locality-sort the env batch
+    ops.culling.build_tile_tables (format v8: 2x2 / 1x1 / 4x4 / 8x8
+    window blocks in one array, indexed by lower-left tile), each
+    SUB=8-scan SUBGROUP of a program sweeps only the segments provably
+    visible from the TIGHTEST window covering it — 1x1 when its scans
+    share a tile, else 2x2 when they span <= 1 tile per axis, else 4x4,
+    else 8x8, else the full table — exact in every case. Locality-sort
+    the env batch
     (parallel.vector.sort_envs_for_locality with the map's tile grid) to
     keep subgroups tile-pure.
     """
@@ -435,23 +436,31 @@ def scan_pallas(
         sy = tj_hi - tj_lo
         # tightest window indexed by the subgroup's LOWER-LEFT tile: 1x1
         # when all its scans share a tile, 2x2 for spread <= 1 per axis,
-        # 4x4 for spread <= 3, else the full set (also on sentinel -1 =
-        # that window's table would be no smaller than the full set)
-        T = tile_tables.shape[0] // 3
+        # 4x4 for spread <= 3, 8x8 for spread <= 7, else the full set
+        # (also on sentinel -1 = that window's table would be no smaller
+        # than the full set)
+        T = tile_tables.shape[0] // 4
         tidx = jnp.clip(tj_lo * nx + ti_lo, 0, T - 1)
         ng_w2 = tile_ngroups[1 + tidx].astype(jnp.int32)
         ng_w1 = tile_ngroups[1 + T + tidx].astype(jnp.int32)
         ng_w4 = tile_ngroups[1 + 2 * T + tidx].astype(jnp.int32)
+        ng_w8 = tile_ngroups[1 + 3 * T + tidx].astype(jnp.int32)
         use1 = in_grid & (sx == 0) & (sy == 0) & (ng_w1 > 0)
         use2 = in_grid & (sx <= 1) & (sy <= 1) & (ng_w2 > 0) & ~use1
         use4 = (in_grid & (sx <= 3) & (sy <= 3) & (ng_w4 > 0)
                 & ~use1 & ~use2)
+        use8 = (in_grid & (sx <= 7) & (sy <= 7) & (ng_w8 > 0)
+                & ~use1 & ~use2 & ~use4)
         bid = jnp.where(use1, 1 + T + tidx,
                         jnp.where(use2, 1 + tidx,
-                                  jnp.where(use4, 1 + 2 * T + tidx, 0)))
+                                  jnp.where(use4, 1 + 2 * T + tidx,
+                                            jnp.where(use8, 1 + 3 * T + tidx,
+                                                      0))))
         ng = jnp.where(use1, ng_w1,
                        jnp.where(use2, ng_w2,
-                                 jnp.where(use4, ng_w4, Kf // GROUP)))
+                                 jnp.where(use4, ng_w4,
+                                           jnp.where(use8, ng_w8,
+                                                     Kf // GROUP))))
 
     Kt = tabs.shape[1]
     kern = functools.partial(_scan_kernel, R, theta_dis, num_beams,

@@ -169,6 +169,37 @@ class PurePursuitPlanner:
                                   lookahead_distance, vgain)
         return float(speed), float(steer)
 
+    def fused_plan_step(self, step_fn, lookahead_distance: float,
+                        vgain: float):
+        """Fuse planning INTO the env step: one jitted device call per
+        frame for interactive use.
+
+        The two-call loop (``plan`` -> host floats -> ``step``) pays two
+        host<->device round trips per frame — painful on a remote/tunneled
+        TPU. The returned ``plan_step(state) -> (state, obs, reward, done,
+        info)`` plans every agent's pure-pursuit action from the CURRENT
+        device-resident state pose and steps, so the host only dispatches
+        one call (and only reads obs back when it actually renders).
+        step_fn is the jitted functional step from ``make_env_fns``.
+        """
+        from f1tenth_gym_tpu.state import IX_X, IX_Y, IX_YAW
+
+        wpts = self.waypoints
+        wb = self.wheelbase
+        mr = self.max_reacquire
+
+        @jax.jit
+        def plan_step(state):
+            f = lambda x, y, t: pure_pursuit_plan(  # noqa: E731
+                x, y, t, wpts, lookahead_distance, vgain, wb, mr)
+            for _ in range(state.x.ndim - 1):
+                f = jax.vmap(f)
+            speed, steer = f(state.x[..., IX_X], state.x[..., IX_Y],
+                             state.x[..., IX_YAW])
+            return step_fn(state, jnp.stack([steer, speed], axis=-1))
+
+        return plan_step
+
     def batched_policy(self, lookahead_distance: float, vgain: float):
         """(key, obs) -> (E, A, 2) actions policy for the vector env."""
         wpts = self.waypoints

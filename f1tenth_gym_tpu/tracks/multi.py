@@ -39,6 +39,7 @@ def multi_track_map_data(
     extract_segments: bool = True,
     tile_culling: bool = True,
     culling_neighborhood: int = 2,
+    culling_tile_size: float = 2.5,
     **gen_kwargs,
 ):
     """Generate n_tracks random tracks and compose them into one MapData.
@@ -106,6 +107,7 @@ def multi_track_map_data(
         dtype=dtype if dtype is not None else jnp.float32,
         extract_segments=extract_segments, tile_culling=tile_culling,
         culling_neighborhood=culling_neighborhood,
+        culling_tile_size=culling_tile_size,
     )
     return md, infos
 

@@ -63,9 +63,9 @@ def test_tile_tables_shapes(culled_map):
     n_blocks, kmax, eight = m.tile_tables.shape
     assert eight == 8 and kmax % GROUP == 0
     meta = np.asarray(m.tile_meta)
-    # merged multi-window pack (v7): 2x2-union, then 1x1, then 4x4 blocks
+    # merged multi-window pack (v8): 2x2, then 1x1, then 4x4, then 8x8
     T = int(meta[3]) * int(meta[4])
-    assert n_blocks == 3 * T
+    assert n_blocks == 4 * T
     ng = np.asarray(m.tile_ngroups)
     assert len(ng) == n_blocks + 1 and ng[0] >= 1
     # tile entries: -1 = full-table sentinel, else 1..kmax/8 groups
@@ -74,12 +74,14 @@ def test_tile_tables_shapes(culled_map):
     assert real.min() >= 1 and real.max() * GROUP <= kmax
     # culling must actually bite somewhere
     assert real.min() < ng[0]
-    # window monotonicity where all tiers are real: 1x1 <= 2x2 <= 4x4
-    w2, w1, w4 = ng[1:1 + T], ng[1 + T:1 + 2 * T], ng[1 + 2 * T:]
-    both = (w1 > 0) & (w2 > 0)
-    assert np.all(w1[both] <= w2[both])
-    both24 = (w2 > 0) & (w4 > 0)
-    assert np.all(w2[both24] <= w4[both24])
+    # window monotonicity where tiers are real: 1x1 <= 2x2 <= 4x4 <= 8x8
+    w2 = ng[1:1 + T]
+    w1 = ng[1 + T:1 + 2 * T]
+    w4 = ng[1 + 2 * T:1 + 3 * T]
+    w8 = ng[1 + 3 * T:]
+    for a, b in ((w1, w2), (w2, w4), (w4, w8)):
+        both = (a > 0) & (b > 0)
+        assert np.all(a[both] <= b[both])
 
 
 def test_culled_scan_bitwise_equals_full(culled_map):

@@ -54,17 +54,22 @@ def stats_for(md, poses):
     ng_w2 = ng_all[1 + tidx]
     ng_w1 = ng_all[1 + T + tidx]
     ng_w4 = ng_all[1 + 2 * T + tidx]
+    ng_w8 = ng_all[1 + 3 * T + tidx]
     use1 = in_grid & (sx == 0) & (sy == 0) & (ng_w1 > 0)
     use2 = in_grid & (sx <= 1) & (sy <= 1) & (ng_w2 > 0) & ~use1
     use4 = in_grid & (sx <= 3) & (sy <= 3) & (ng_w4 > 0) & ~use1 & ~use2
+    use8 = (in_grid & (sx <= 7) & (sy <= 7) & (ng_w8 > 0)
+            & ~use1 & ~use2 & ~use4)
     ng = np.where(use1, ng_w1,
-                  np.where(use2, ng_w2, np.where(use4, ng_w4, full_ng)))
+                  np.where(use2, ng_w2,
+                           np.where(use4, ng_w4,
+                                    np.where(use8, ng_w8, full_ng))))
     return {
         "programs": n_pad // EA,
         "subgroups": len(ng),
         "w1": int(use1.sum()), "w2": int(use2.sum()),
-        "w4": int(use4.sum()),
-        "full": int((~(use1 | use2 | use4)).sum()),
+        "w4": int(use4.sum()), "w8": int(use8.sum()),
+        "full": int((~(use1 | use2 | use4 | use8)).sum()),
         "mean_ng": float(ng.mean()),
         "full_ng": full_ng,
         "mean_segs": float(ng.mean()) * GROUP,
@@ -98,7 +103,8 @@ def main():
     print(f"ts={ts} grid={int(tm[3])}x{int(tm[4])} EA={EA} SUB={SUB} "
           f"kmax={kmax}g")
     print(f"programs={s['programs']} subgroups={s['subgroups']}  "
-          f"1x1={s['w1']}  2x2={s['w2']}  4x4={s['w4']}  full={s['full']}")
+          f"1x1={s['w1']}  2x2={s['w2']}  4x4={s['w4']}  8x8={s['w8']}  "
+          f"full={s['full']}")
     print(f"mean swept groups/program = {s['mean_ng']:.2f} "
           f"(full set: {s['full_ng']}) -> {s['speedup_vs_full']:.2f}x row cull")
 
