@@ -81,16 +81,16 @@ def weak_child(n_devices: int):
                                 reset_to_start=True)
 
     @jax.jit
-    def fstep(s):
+    def fstep(s, m):
         a = jnp.zeros((num_envs, 2, 2), jnp.float32).at[..., 1].set(2.0)
-        s, *_ = astep(s, a)
+        s, *_ = astep.impl(s, a, m)
         return s
 
-    s = fstep(states)
+    s = fstep(states, map_r)
     _ = float(jnp.sum(s.x))
     t0 = time.time()
     for _ in range(steps):
-        s = fstep(s)
+        s = fstep(s, map_r)
     _ = float(jnp.sum(s.x))
     rate = num_envs * steps / (time.time() - t0)
     print(json.dumps({"devices": n_devices, "rate": round(rate, 1)}))
@@ -292,8 +292,10 @@ def main():
     # one jitted program: autoreset step + policy fused. A python loop over
     # it (rather than a big lax.scan) keeps compile time bounded on the
     # remote-compile path; dispatch overhead is negligible at these sizes.
+    # The map rides as a jit ARGUMENT (astep.impl) so its culling tables
+    # are program parameters, not embedded constants.
     @jax.jit
-    def fused_step(s, k):
+    def fused_step(s, k, m):
         k, sub = jax.random.split(k)
         obs = {
             "scans": s.scans,
@@ -302,7 +304,7 @@ def main():
             "poses_theta": s.x[..., 4],
         }
         actions = policy(sub, obs)
-        s, _, reward, done, _ = astep(s, actions)
+        s, _, reward, done, _ = astep.impl(s, actions, m)
         return s, k, jnp.sum(done)
 
     # locality sort keyed to the map's culling grid when available
@@ -316,7 +318,7 @@ def main():
     # warmup / compile (forced readback: block_until_ready can return early
     # on tunneled backends, so fence with a host transfer)
     t0 = time.time()
-    s, k, d = fused_step(states, jax.random.PRNGKey(1))
+    s, k, d = fused_step(states, jax.random.PRNGKey(1), map_data)
     if engine == "pallas":
         s = sort_envs_for_locality(s, **sort_kw)  # compile outside timing
     _ = float(jnp.sum(s.x))
@@ -328,7 +330,7 @@ def main():
     for i in range(num_steps):
         if engine == "pallas" and i % sort_period == 0:
             s = sort_envs_for_locality(s, **sort_kw)
-        s, k, d = fused_step(s, k)
+        s, k, d = fused_step(s, k, map_data)
     _ = float(jnp.sum(s.x))  # fence
     elapsed = time.time() - t0
     dones = int(d)

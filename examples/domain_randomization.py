@@ -82,15 +82,18 @@ def main():
         per = args.envs * ppo.pc.rollout_steps
         for it in range(args.iters):
             t0 = time.time()
-            ts, metrics = step(ts)
+            ts, metrics = step(ts, m)  # map as jit arg, not constant
             print(f"iter {it:3d}  loss {float(metrics['loss']):8.4f}  "
                   f"reward {float(metrics['mean_reward']):8.4f}  "
                   f"{per/(time.time()-t0):,.0f} env-steps/s "
                   f"(x{args.tracks} tracks)", flush=True)
         return
 
+    # the 16-track world's culling tables run to hundreds of MB: the map
+    # must ride through the OUTER jit as an argument (program parameter),
+    # not an astep closure (embedded constant) — see make_autoreset_step
     @jax.jit
-    def fstep(s):
+    def fstep(s, mm):
         scans = s.scans
         B = scans.shape[-1]
         lo, hi = 2 * B // 5, 3 * B // 5
@@ -98,17 +101,17 @@ def main():
         ang = (best.astype(scans.dtype) / (B - 1) - 0.5) * 4.7
         steer = jnp.clip(0.6 * ang, -0.4, 0.4)
         speed = jnp.clip(0.8 * scans[..., lo:hi].min(-1), 1.0, 4.0)
-        s, _, _, d, _ = astep(s, jnp.stack([steer, speed], -1))
+        s, _, _, d, _ = astep.impl(s, jnp.stack([steer, speed], -1), mm)
         return s, jnp.sum(d)
 
-    s, d = fstep(states)
+    s, d = fstep(states, m)
     s = sort_fn(s)  # scans of a program must share a culling window
     _ = float(jnp.sum(s.x))
     t0 = time.time()
     for i in range(args.steps):
         if i % 32 == 0:
             s = sort_fn(s)
-        s, d = fstep(s)
+        s, d = fstep(s, m)
     _ = float(jnp.sum(s.x))
     dt = time.time() - t0
     rate = args.envs * args.steps / dt

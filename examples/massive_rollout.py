@@ -54,7 +54,7 @@ def main():
                                 reset_to_start=True)
 
     @jax.jit
-    def policy_step(s, k):
+    def policy_step(s, k, mm):  # map as jit ARG: tables stay out of the HLO
         k, sub = jax.random.split(k)
         scans = s.scans
         B = scans.shape[-1]
@@ -62,17 +62,17 @@ def main():
         right = scans[..., B // 2:].mean(-1)
         steer = jnp.clip(0.25 * (right - left) / 30.0, -0.4, 0.4)
         actions = jnp.stack([steer, jnp.full_like(steer, 3.0)], axis=-1)
-        s, _, r, done, _ = astep(s, actions)
+        s, _, r, done, _ = astep.impl(s, actions, mm)
         return s, k, jnp.sum(done)
 
-    s, k, d = policy_step(states, jax.random.PRNGKey(1))
+    s, k, d = policy_step(states, jax.random.PRNGKey(1), m)
     s = sort_envs_for_locality(s)  # keep scan programs tile-homogeneous
     jax.block_until_ready(s.x)
     t0 = time.time()
     for i in range(args.steps):
         if i % 32 == 0:
             s = sort_envs_for_locality(s)
-        s, k, d = policy_step(s, k)
+        s, k, d = policy_step(s, k, m)
     jax.block_until_ready(s.x)
     dt = time.time() - t0
     rate = args.envs * args.steps / dt

@@ -107,9 +107,11 @@ class F110VectorEnv(_VectorBase):
                                            grouped=True, align_theta=True)
             self._poses = sampler(jax.random.PRNGKey(seed),
                                   (num_envs, num_agents))
-        self._astep = jax.jit(make_autoreset_step(
+        # make_autoreset_step already jits itself (with the map as an
+        # argument, keeping big culling tables out of the program)
+        self._astep = make_autoreset_step(
             self.params, self.map_data, self.tables, self.cfg,
-            self.timestep, reset_to_start=True))
+            self.timestep, reset_to_start=True)
         self._states = None
         self._pending_reset = np.zeros(num_envs, bool)
 

@@ -92,7 +92,10 @@ LANES = 128
 # each SUB=8-scan SUBGROUP selects its own culled window table via its own
 # scalar-prefetch block index. The env knob exists for tuning sweeps.
 EA = int(os.environ.get("F1TENTH_PALLAS_EA", "32"))
-SUB = 8         # scans per table-selection subgroup (EA % SUB == 0)
+# scans per table-selection subgroup (EA % SUB == 0). Smaller subgroups pick
+# tighter windows (less sweep work) at the cost of more per-program table
+# DMAs; 8 measured best at EA=32 (see docs/performance.md).
+SUB = int(os.environ.get("F1TENTH_PALLAS_SUB", "8"))
 GROUP = 8       # segments per group (one sublane tile)
 
 

@@ -143,11 +143,27 @@ class PPO:
             optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
             optax.adam(ppo_cfg.lr),
         )
-        self.step_fn = step_fn or (
-            lambda s, a: batch_step(
-                s, a, params, map_data, tables, cfg, timestep
-            )
-        )
+        self.step_fn = step_fn
+
+    def _step(self, states, actions, map_data):
+        """One env step with the map as data flow, not closure.
+
+        When ``train_step`` is jitted with an explicit map_data argument,
+        the map's (potentially hundreds-of-MB) culling tables become
+        program PARAMETERS; a closure would embed them as constants in the
+        lowered module. Custom step_fns participate via their ``.impl``
+        attribute (make_autoreset_step provides one); bare closures still
+        work but re-embed their captured map.
+        """
+        if map_data is None:
+            map_data = self.map_data
+        if self.step_fn is not None:
+            impl = getattr(self.step_fn, "impl", None)
+            if impl is not None:
+                return impl(states, actions, map_data)
+            return self.step_fn(states, actions)
+        return batch_step(states, actions, self.params, map_data,
+                          self.tables, self.cfg, self.timestep)
 
     # ------------------------------------------------------------- init
     def init(self, env_states: SimState, key: jax.Array) -> TrainState:
@@ -207,7 +223,7 @@ class PPO:
             - self.pc.crash_penalty * crash
         )
 
-    def rollout(self, ts: TrainState):
+    def rollout(self, ts: TrainState, map_data: Optional[MapData] = None):
         """Collect rollout_steps transitions for every agent of each env."""
         pc = self.pc
 
@@ -218,7 +234,7 @@ class PPO:
             # per-agent shared policy: apply to (E, A, F)
             raw, logp, value = self._policy(ts.net_params, ak, feats)
             actions = scale_actions(raw, self.params)
-            nstates, obs, _, done, _ = self.step_fn(states, actions)
+            nstates, obs, _, done, _ = self._step(states, actions, map_data)
             reward = self._shaped_reward(nstates, done)
             out = dict(
                 feats=feats, raw=raw, logp=logp, value=value,
@@ -275,10 +291,16 @@ class PPO:
         return total, dict(pg=pg_loss, vf=v_loss, ent=ent)
 
     # ------------------------------------------------------------- train
-    def train_step(self, ts: TrainState):
-        """One PPO iteration: rollout + epochs x minibatch updates. Jittable."""
+    def train_step(self, ts: TrainState, map_data: Optional[MapData] = None):
+        """One PPO iteration: rollout + epochs x minibatch updates. Jittable.
+
+        Pass map_data explicitly when jitting (``jax.jit(ppo.train_step)``
+        called as ``step(ts, m)``) so the map's culling tables enter the
+        program as parameters instead of embedded constants — required for
+        large multi-track worlds (see _step).
+        """
         pc = self.pc
-        ts, traj, value_T = self.rollout(ts)
+        ts, traj, value_T = self.rollout(ts, map_data)
         advs, returns = self._gae(traj, value_T)
         advs = (advs - advs.mean()) / (advs.std() + 1e-8)
 

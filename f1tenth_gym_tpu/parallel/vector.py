@@ -294,6 +294,16 @@ def make_autoreset_step(
     reset_poses is positional: env i always resets to reset_poses[i]. Do
     NOT combine it with ``sort_envs_for_locality`` (which relabels envs);
     use reset_to_start or a pose_sampler with sorted batches.
+
+    The returned ``step`` is jitted with the MAP AS AN ARGUMENT, not a
+    closure: closed-over arrays are embedded into the lowered program as
+    constants, and a map's culling tables can run to hundreds of MB on
+    multi-track worlds — bloating the executable (and, on remote-compile
+    backends, the compile request) by that much. Callers composing their
+    own jit AROUND this step must keep that property: close over
+    ``step.impl`` and pass ``map_data`` through their jit's own arguments
+    (see examples/domain_randomization.py), otherwise the outer trace
+    re-embeds the map.
     """
     n_modes = sum([pose_sampler is not None, reset_poses is not None,
                    bool(reset_to_start)])
@@ -301,7 +311,7 @@ def make_autoreset_step(
         raise ValueError(
             "pass exactly one of pose_sampler / reset_poses / reset_to_start")
 
-    def step(states: SimState, actions: jnp.ndarray):
+    def step_impl(states: SimState, actions: jnp.ndarray, map_data: MapData):
         states, obs, reward, done, info = batch_step(
             states, actions, params, map_data, tables, cfg, timestep
         )
@@ -329,4 +339,11 @@ def make_autoreset_step(
         states = jax.tree.map(select, fresh, states)
         return states, obs, reward, done, info
 
+    jstep = jax.jit(step_impl)
+
+    def step(states: SimState, actions: jnp.ndarray):
+        return jstep(states, actions, map_data)
+
+    step.impl = step_impl      # compose under an outer jit: map as an ARG
+    step.map_data = map_data
     return step
