@@ -74,6 +74,15 @@ class SimConfig:
     # (base_classes.py:119,204), so all agents of an env draw *identical*
     # noise each step. True replicates that; False draws independent noise.
     shared_agent_noise: bool = True
+    # Fuse the post-scan extras (additive beam noise, the iTTC beam
+    # reduction, and the opponent ray-cast overlay) into Pallas kernels
+    # when scan_engine resolves to "pallas" and dtype is float32. Scan
+    # values stay bit-identical to the unfused path (the noise vector is
+    # generated outside with the same rng fold); the iTTC compare and the
+    # opponent-edge intersections run in f32 inside the kernel, and the
+    # reference's collinear-ray fallback (laser_models.py:275-278, a
+    # measure-zero geometry) is not reproduced on this path.
+    fuse_extras: bool = True
     # Computation dtype for the simulation state ("float32" on TPU;
     # "float64" for CPU parity testing vs the float64 reference).
     dtype: str = "float32"

@@ -139,7 +139,7 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, ng_ref,
+def _scan_kernel(R, theta_dis, num_beams, phases, fuse, bid_ref, ng_ref,
                  orig_ref, nb_ref, segf_ref, *rest):
     """One program: EA scans of R*128 beams, each SUB-scan subgroup
     sweeping its own culled segment table.
@@ -184,7 +184,12 @@ def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, ng_ref,
 
     S = EA // SUB
     segt_refs = rest[:S]
-    out_ref, acc, dirb = rest[S:]
+    if fuse:
+        # fused noise + iTTC epilogue (round 3): extra inputs and a second
+        # output ride along — see the fused out phase below
+        noise_ref, ttc_tab, out_ref, out2_ref, acc, dirb = rest[S:]
+    else:
+        out_ref, acc, dirb = rest[S:]
 
     zero = jnp.float32(0.0)
     one = jnp.float32(1.0)
@@ -325,20 +330,67 @@ def _scan_kernel(R, theta_dis, num_beams, phases, bid_ref, ng_ref,
     # which Mosaic lowers as read-modify-write.
     eps = jnp.float32(1e-9)
     max_range = orig_ref[0, 0, 6]
+    if not fuse:
+        for c in range(EA * R // GROUP):
+            rows = [
+                jnp.max(acc[(c * GROUP + i) * GROUP:
+                            (c * GROUP + i + 1) * GROUP, :],
+                        axis=0, keepdims=True)
+                for i in range(GROUP)
+            ]
+            s = jnp.concatenate(rows, axis=0)
+            out_ref[c * GROUP:(c + 1) * GROUP, :] = jnp.minimum(
+                jnp.float32(1.0) / jnp.maximum(s, eps), max_range)
+        return
+
+    # FUSED out phase (round 3): the additive beam noise (an XLA input —
+    # generated outside so rng semantics stay bit-identical to the unfused
+    # path) lands on the clamped range right here, and the reference's
+    # per-beam iTTC test (laser_models.py:188-217: 0 <= (scan - side)/
+    # (vel*cos) < thresh, numpy div-by-zero semantics — IEEE inf/nan
+    # never satisfies the two compares) reduces each scan's beams to one
+    # 0/1 row of out2. This removes the separate XLA noise-add and iTTC
+    # passes and their ~105 MB of HBM round trips at 8192 scans.
+    # ttc_tab rows: [0, R) side_distances, [R] ttc threshold (whole row),
+    # [R+1, 2R+1) beam cosines; pad beam lanes carry side = 1e30 so they
+    # can never register a hit.
+    thresh_row = ttc_tab[R:R + 1, :]
+    hit_acc = {}
+    pend = []
     for c in range(EA * R // GROUP):
         rows = [
-            jnp.max(acc[(c * GROUP + i) * GROUP:(c * GROUP + i + 1) * GROUP, :],
+            jnp.max(acc[(c * GROUP + i) * GROUP:
+                        (c * GROUP + i + 1) * GROUP, :],
                     axis=0, keepdims=True)
             for i in range(GROUP)
         ]
         s = jnp.concatenate(rows, axis=0)
-        out_ref[c * GROUP:(c + 1) * GROUP, :] = jnp.minimum(
-            jnp.float32(1.0) / jnp.maximum(s, eps), max_range)
+        rng8 = jnp.minimum(jnp.float32(1.0) / jnp.maximum(s, eps), max_range)
+        noisy = rng8 + noise_ref[c * GROUP:(c + 1) * GROUP, :]
+        out_ref[c * GROUP:(c + 1) * GROUP, :] = noisy
+        for i in range(GROUP):
+            ea, r = divmod(c * GROUP + i, R)
+            pv = orig_ref[0, ea, 7] * ttc_tab[R + 1 + r:R + 2 + r, :]
+            q = (noisy[i:i + 1, :] - ttc_tab[r:r + 1, :]) / pv
+            hit = jnp.where((q < thresh_row) & (q >= jnp.float32(0.0)),
+                            jnp.float32(1.0), jnp.float32(0.0))
+            prev = hit_acc.get(ea)
+            hit_acc[ea] = hit if prev is None else jnp.maximum(prev, hit)
+            if r == R - 1:
+                # scan ea complete: bank its reduced row; flush 8 at a
+                # time as one full (8,128) store (single-row stores are
+                # read-modify-write on Mosaic)
+                pend.append(hit_acc.pop(ea))
+                if len(pend) == GROUP:
+                    base = ea - (GROUP - 1)
+                    out2_ref[base:base + GROUP, :] = jnp.concatenate(pend, 0)
+                    pend = []
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_beams", "theta_dis", "interpret", "phases"))
+    static_argnames=("num_beams", "theta_dis", "interpret", "phases",
+                     "fuse"))
 def scan_pallas(
     pose: jnp.ndarray,            # (..., 3)
     seg_table: jnp.ndarray,       # (K, 8) from build_seg_table
@@ -350,12 +402,23 @@ def scan_pallas(
     tile_tables: jnp.ndarray = None,   # (3*n_tiles, Kmax, 8), ops/culling.py
     tile_ngroups: jnp.ndarray = None,  # (3*n_tiles + 1,) i32
     tile_meta: jnp.ndarray = None,     # (6,) [x0, y0, 1/ts, nx, ny, r]
+    fuse: bool = False,                # fused noise + iTTC epilogue
+    noise: jnp.ndarray = None,         # (..., num_beams) additive noise
+    vel: jnp.ndarray = None,           # (...,) longitudinal velocity
 ) -> jnp.ndarray:
     """Batched LiDAR scan -> (..., num_beams) ranges.
 
     Drop-in replacement for ops.segments.get_scan_segments. Any batch shape;
     the batch is flattened, padded to a multiple of EA, and fed to the grid.
     Set interpret=True on CPU (tests).
+
+    With fuse=True the kernel also adds the provided per-beam noise to the
+    clamped ranges IN-KERNEL and reduces the reference's iTTC test
+    (laser_models.py:188-217) over the beams of each scan; the return
+    value becomes ``(scans, ttc_hit)`` with ttc_hit (...,) bool already
+    guarded by ``vel != 0``. The noise array is generated by the CALLER
+    (same rng fold as the unfused path) so fused and unfused paths are
+    bit-identical on the scan values.
 
     With the merged multi-window tables built by
     ops.culling.build_tile_tables (format v8: 2x2 / 1x1 / 4x4 / 8x8
@@ -395,9 +458,16 @@ def scan_pallas(
     alpha = ti0 * bin_to_rad
     zeros = jnp.zeros_like(ti0)
     maxr = jnp.full_like(ti0, tables.max_range.astype(jnp.float32))
+    if fuse:
+        vflat = vel.reshape(-1).astype(jnp.float32)
+        vflat = jnp.concatenate(
+            [vflat, jnp.zeros((n_pad - n,), jnp.float32)])
+        slot7 = vflat
+    else:
+        slot7 = zeros
     scalars = jnp.stack(
         [p[:, 0], p[:, 1], ti0, inc, jnp.cos(alpha), jnp.sin(alpha),
-         maxr, zeros], axis=-1)  # (n_pad, 8)
+         maxr, slot7], axis=-1)  # (n_pad, 8)
 
     # scan-independent beam-fan tables cos(n*beta)/sin(n*beta), one cos +
     # one sin (8,128) tile per rowgroup (n = beam index)
@@ -466,8 +536,12 @@ def scan_pallas(
                                                      Kf // GROUP))))
 
     Kt = tabs.shape[1]
+    assert EA % SUB == 0, f"EA={EA} must be a multiple of SUB={SUB}"
+    if fuse:
+        assert phases == "dirs,sweep,out", "fuse needs the full kernel"
+        assert EA % GROUP == 0, "fused out2 flush needs EA % 8 == 0"
     kern = functools.partial(_scan_kernel, R, theta_dis, num_beams,
-                             tuple(phases.split(",")))
+                             tuple(phases.split(",")), fuse)
 
     # one BlockSpec per SUB-scan subgroup, all slicing the SAME merged
     # window array: subgroup s of program g DMAs block bid[g*S+s]-1
@@ -477,34 +551,73 @@ def scan_pallas(
             lambda g, b, m, _s=s: (jnp.maximum(b[g * S + _s] - 1, 0), 0, 0))
         for s in range(S)
     ]
+    in_specs = [
+        pl.BlockSpec((1, EA, 8), lambda g, b, m: (g, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b, m: (0, 0)),
+        pl.BlockSpec((1, Kf, 8), lambda g, b, m: (0, 0, 0)),
+    ] + sub_specs
+    operands = [scalars.reshape(n_prog, EA, 8), nb, full] + [tabs] * S
+    if fuse:
+        # noise rows aligned with the out layout (one (EA*R, 128) block
+        # per program) + the per-beam iTTC constant rows (resident)
+        nz = noise.reshape(-1, num_beams).astype(jnp.float32)
+        nz = jnp.pad(nz, ((0, n_pad - n), (0, R * LANES - num_beams)))
+        operands.append(nz.reshape(n_pad * R, LANES))
+        in_specs.append(
+            pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0)))
+        side = jnp.pad(tables.side_distances.astype(jnp.float32),
+                       (0, R * LANES - num_beams),
+                       constant_values=jnp.float32(1e30)).reshape(R, LANES)
+        cosb = jnp.pad(tables.beam_cosines.astype(jnp.float32),
+                       (0, R * LANES - num_beams),
+                       constant_values=jnp.float32(1.0)).reshape(R, LANES)
+        thr = jnp.full((1, LANES), tables.ttc_thresh, jnp.float32)
+        ttc_tab = jnp.concatenate([side, thr, cosb], axis=0)
+        H = ((2 * R + 1 + GROUP - 1) // GROUP) * GROUP
+        ttc_tab = jnp.pad(ttc_tab, ((0, H - 2 * R - 1), (0, 0)))
+        operands.append(ttc_tab)
+        in_specs.append(pl.BlockSpec((H, LANES), lambda g, b, m: (0, 0)))
+        out_specs = [
+            pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0)),
+            pl.BlockSpec((EA, LANES), lambda g, b, m: (g, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
+        ]
+    else:
+        out_specs = pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0))
+        out_shape = jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, EA, 8), lambda g, b, m: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b, m: (0, 0)),
-            pl.BlockSpec((1, Kf, 8), lambda g, b, m: (0, 0, 0)),
-        ] + sub_specs,
-        out_specs=pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0)),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((EA * R * GROUP, LANES), jnp.float32),
             pltpu.VMEM((EA * RG * 2 * GROUP, LANES), jnp.float32)],
     )
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
         # grid programs are independent: lets Mosaic pipeline the next
         # program's (prefetch-indexed) table DMAs under this one's sweep
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
-    )(bid, ng, scalars.reshape(n_prog, EA, 8), nb, full, *([tabs] * S))
+    )(bid, ng, *operands)
 
     # the kernel's out phase already emitted final clamped ranges
+    out = res[0] if fuse else res
     out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
-    return out.reshape(*batch_shape, num_beams).astype(pose.dtype)
+    out = out.reshape(*batch_shape, num_beams).astype(pose.dtype)
+    if not fuse:
+        return out
+    hit = res[1][:n].max(axis=-1) > jnp.float32(0.5)
+    hit = hit & (vel.reshape(-1) != 0)
+    return out, hit.reshape(batch_shape)
 
 
 def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
@@ -529,4 +642,302 @@ def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
         return fn(p), True
 
     return fn(pose)
+
+
+def scan_pallas_fused_vmappable(pose, noise, vel, seg_table, tables,
+                                num_beams, theta_dis, interpret=False,
+                                tile_tables=None, tile_ngroups=None,
+                                tile_meta=None):
+    """Fused (scan + noise + iTTC) scan_pallas under jax.vmap.
+
+    Same batch-collapsing custom_vmap trick as scan_pallas_vmappable;
+    returns ``(scans, ttc_hit)``.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def fn(p, nz, v):
+        return scan_pallas(p, seg_table, tables, num_beams, theta_dis,
+                           interpret=interpret, tile_tables=tile_tables,
+                           tile_ngroups=tile_ngroups, tile_meta=tile_meta,
+                           fuse=True, noise=nz, vel=v)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, p, nz, v):  # noqa: ANN001
+        return fn(p, nz, v), (True, True)
+
+    return fn(pose, noise, vel)
+
+
+# --------------------------------------------------------------------------
+# Opponent ray-cast overlay kernel (round 3)
+# --------------------------------------------------------------------------
+
+EAO = 128   # scans per overlay program (its per-program work is tiny)
+
+
+def _overlay_kernel(R, theta_dis, num_beams, OGp, rb_ref, orig_ref, nb_ref,
+                    opp_ref, scan_ref, out_ref):
+    """Clip each scan by its opponents' car-box edges, in place.
+
+    Replicates laser_models.py:318-346 (the reference's ray_cast +
+    get_blocked_view_indices pass) as a tiny second kernel over the
+    already-row-formatted scan output of _scan_kernel:
+
+    * opp_ref (1, EAO*OGp*8, 8): per scan, OGp groups of 8 edge rows in
+      build_seg_table format with slots 6/7 = the opponent's blocked-view
+      beam-index window [lo, hi] (get_blocked_view_indices semantics,
+      computed closed-form outside — the reference's per-vertex nearest-
+      beam argmin over a UNIFORM angle grid is a rounded affine map).
+      Padding rows carry lo=1e9 > hi=-1e9: never selected.
+    * rb_ref (n_prog*EAO*OGp*2,) i32: per (scan, group), the [first, last]
+      128-beam ROW overlapped by the group's union window — the dynamic
+      fori_loop bounds. An opponent subtends a narrow angle, so most of
+      each scan's 9 rows are skipped entirely (dynamic trip counts are
+      free, measured round 2); an empty window encodes [1, 0].
+    * beam directions are recomputed per touched row by EXACT angle
+      addition — cos/sin(theta - fov/2) per-scan scalars against shared
+      cos/sin(n * angle_inc) tables. Unlike the wall kernel, the
+      reference's opponent pass uses the CONTINUOUS beam angles
+      theta + scan_angles (laser_models.py:329-334), not the theta-LUT
+      discretization, so no small-angle correction term appears. Cheaper
+      than persisting the main kernel's dirs scratch to HBM (~600 MB at
+      8192 scans).
+
+    The whole block is copied through (out := in) first, then only the
+    touched rows are min-updated: single-row read-modify-write stores are
+    fine at ~1-2 rows per scan.
+    """
+    from jax.experimental import pallas as pl
+
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1
+                                      ).astype(jnp.float32)
+    out_ref[...] = scan_ref[...]
+    pid = pl.program_id(0)
+
+    for ea in range(EAO):
+        ox = orig_ref[0, ea, 0]
+        oy = orig_ref[0, ea, 1]
+        ca = orig_ref[0, ea, 2]
+        sa = orig_ref[0, ea, 3]
+        for g in range(OGp):
+            base = (ea * OGp + g) * GROUP
+            tb = opp_ref[0, base:base + GROUP, :]
+            nx = jnp.broadcast_to(tb[:, 0:1], (GROUP, LANES))
+            ny = jnp.broadcast_to(tb[:, 1:2], (GROUP, LANES))
+            tx = jnp.broadcast_to(tb[:, 3:4], (GROUP, LANES))
+            ty = jnp.broadcast_to(tb[:, 4:5], (GROUP, LANES))
+            lo8 = jnp.broadcast_to(tb[:, 6:7], (GROUP, LANES))
+            hi8 = jnp.broadcast_to(tb[:, 7:8], (GROUP, LANES))
+            num8 = tb[:, 2:3] - ox * tb[:, 0:1] - oy * tb[:, 1:2]
+            num8 = jnp.where(jnp.abs(num8) < 1e-12, jnp.float32(1e-12),
+                             num8)
+            inv = jnp.broadcast_to(jnp.float32(1.0) / num8, (GROUP, LANES))
+            uo = jnp.broadcast_to(
+                ox * tb[:, 3:4] + oy * tb[:, 4:5] + tb[:, 5:6],
+                (GROUP, LANES))
+            rb0 = (pid * EAO * OGp + ea * OGp + g) * 2
+            rlo = rb_ref[rb0]
+            rhi = rb_ref[rb0 + 1]
+
+            def body(r, _, ea=ea, nx=nx, ny=ny, tx=tx, ty=ty, lo8=lo8,
+                     hi8=hi8, inv=inv, uo=uo, ca=ca, sa=sa):
+                rg = r // GROUP
+                dr = r - rg * GROUP
+                cnb = nb_ref[pl.ds(rg * 2 * GROUP + dr, 1), :]
+                snb = nb_ref[pl.ds(rg * 2 * GROUP + GROUP + dr, 1), :]
+                beam = r.astype(jnp.float32) * LANES + lane_f      # (1,128)
+                # exact angle addition: dir = (cos, sin)(theta0 + n*inc)
+                dx = ca * cnb - sa * snb
+                dy = sa * cnb + ca * snb
+                den = nx * dx + ny * dy
+                s = den * inv
+                b = uo * s + tx * dx + ty * dy
+                q = jnp.minimum(b, s - b)
+                beam8 = jnp.broadcast_to(beam, (GROUP, LANES))
+                okm = (q >= 0) & (beam8 >= lo8) & (beam8 <= hi8)
+                smax = jnp.max(jnp.where(okm, s, jnp.float32(0.0)),
+                               axis=0, keepdims=True)             # (1,128)
+                ridx = ea * R + r
+                cur = out_ref[pl.ds(ridx, 1), :]
+                new = jnp.where(
+                    smax > 0,
+                    jnp.minimum(cur, jnp.float32(1.0)
+                                / jnp.maximum(smax, jnp.float32(1e-9))),
+                    cur)
+                out_ref[pl.ds(ridx, 1), :] = new
+                return 0
+
+            jax.lax.fori_loop(rlo, rhi + 1, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_beams", "theta_dis", "interpret"))
+def overlay_opponents_pallas(
+    scans: jnp.ndarray,        # (..., num_beams) the (noisy) wall scan
+    pose: jnp.ndarray,         # (..., 3) POST-TTC-zeroing scan pose
+    opp_vertices: jnp.ndarray,  # (..., O, 4, 2) PRE-zeroing opponent boxes
+    tables: ScanTables,
+    num_beams: int,
+    theta_dis: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """laser_models.py:282-346 (blocked-view window + ray_cast min) on TPU.
+
+    Builds the per-(scan, opponent-edge) segment rows + blocked windows in
+    XLA (cheap: O(n*O) elementwise, no (O,4,B) argmin tensor — the
+    reference's nearest-beam argmin over the uniform scan_angles grid is
+    the closed form round((a + fov/2)/inc) clipped to [0, B-1]) and clips
+    the scans in the _overlay_kernel. The reference's collinear-ray
+    fallback (laser_models.py:275-278, a measure-zero geometry) is not
+    reproduced.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch_shape = scans.shape[:-1]
+    O = opp_vertices.shape[-3]
+    OGp = max(1, (4 * O + GROUP - 1) // GROUP)
+    p = pose.reshape(-1, 3).astype(jnp.float32)
+    sc = scans.reshape(-1, num_beams).astype(jnp.float32)
+    ov = opp_vertices.reshape(-1, O, 4, 2).astype(jnp.float32)
+    n = p.shape[0]
+    n_pad = ((n + EAO - 1) // EAO) * EAO
+
+    R = (num_beams + LANES - 1) // LANES
+    RG = (R + GROUP - 1) // GROUP
+    fov = tables.fov.astype(jnp.float32)
+    angle_inc = fov / (num_beams - 1)
+
+    # --- blocked-view windows (get_blocked_view_indices closed form)
+    o_xy = p[:, None, None, 0:2]                       # (n,1,1,2)
+    vecs = ov - o_xy                                   # (n,O,4,2)
+    vert_ang = jnp.arctan2(vecs[..., 1], vecs[..., 0])  # (n,O,4)
+    theta = p[:, 2]
+    ego = jnp.arctan2(jnp.sin(theta), jnp.cos(theta))[:, None, None]
+    diff = ego - vert_ang
+    diff = jnp.where(diff > np.pi, diff - 2 * np.pi, diff)
+    diff = jnp.where(diff < -np.pi, diff + 2 * np.pi, diff)
+    awx = -diff                                        # (n,O,4)
+    idx = jnp.clip(jnp.round((awx + fov / 2.0) / angle_inc),
+                   0, num_beams - 1)
+    lo = jnp.min(idx, axis=-1)                         # (n,O)
+    hi = jnp.max(idx, axis=-1)
+
+    # --- edge rows in build_seg_table format (f32 on device)
+    va = ov                                            # (n,O,4,2)
+    vb = jnp.roll(ov, shift=-1, axis=-2)
+    ex = vb[..., 0] - va[..., 0]
+    ey = vb[..., 1] - va[..., 1]
+    len2 = jnp.maximum(ex * ex + ey * ey, 1e-20)
+    ln = jnp.sqrt(len2)
+    rnx = -ey / ln
+    rny = ex / ln
+    rc = rnx * va[..., 0] + rny * va[..., 1]
+    rtx = ex / len2
+    rty = ey / len2
+    rw0 = (va[..., 0] * ex + va[..., 1] * ey) / len2
+    lo_e = jnp.broadcast_to(lo[..., None], rnx.shape)
+    hi_e = jnp.broadcast_to(hi[..., None], rnx.shape)
+    rows = jnp.stack([rnx, rny, rc, rtx, rty, -rw0, lo_e, hi_e],
+                     axis=-1)                          # (n,O,4,8)
+    rows = rows.reshape(n, 4 * O, 8)
+    pad_rows = OGp * GROUP - 4 * O
+    if pad_rows:
+        pr = jnp.zeros((n, pad_rows, 8), jnp.float32)
+        pr = pr.at[:, :, 2].set(1.0).at[:, :, 5].set(10.0)
+        pr = pr.at[:, :, 6].set(1e9).at[:, :, 7].set(-1e9)
+        rows = jnp.concatenate([rows, pr], axis=1)
+    if n_pad > n:
+        pad = jnp.zeros((n_pad - n, OGp * GROUP, 8), jnp.float32)
+        pad = pad.at[:, :, 2].set(1.0).at[:, :, 5].set(10.0)
+        pad = pad.at[:, :, 6].set(1e9).at[:, :, 7].set(-1e9)
+        rows = jnp.concatenate([rows, pad], axis=0)
+        p = jnp.concatenate([p, jnp.tile(p[-1:], (n_pad - n, 1))], axis=0)
+
+    # --- per-(scan, group) touched-row bounds for the dynamic fori_loop
+    glo = lo.reshape(n, O)
+    ghi = hi.reshape(n, O)
+    gpad = OGp * 2 - O          # group = 2 consecutive opponents (8 edges)
+    if gpad:
+        glo = jnp.concatenate(
+            [glo, jnp.full((n, gpad), jnp.inf, glo.dtype)], axis=1)
+        ghi = jnp.concatenate(
+            [ghi, jnp.full((n, gpad), -jnp.inf, ghi.dtype)], axis=1)
+    glo = jnp.min(glo.reshape(n, OGp, 2), axis=-1)
+    ghi = jnp.max(ghi.reshape(n, OGp, 2), axis=-1)
+    row_lo = jnp.where(jnp.isfinite(glo),
+                       jnp.floor(glo / LANES), 1.0).astype(jnp.int32)
+    row_hi = jnp.where(jnp.isfinite(ghi),
+                       jnp.floor(ghi / LANES), 0.0).astype(jnp.int32)
+    rb = jnp.stack([jnp.clip(row_lo, 0, R - 1),
+                    jnp.clip(row_hi, 0, R - 1)], axis=-1)
+    rb = jnp.where(jnp.isfinite(glo)[..., None], rb,
+                   jnp.array([1, 0], jnp.int32))
+    if n_pad > n:
+        rb = jnp.concatenate(
+            [rb, jnp.tile(jnp.array([[[1, 0]]], jnp.int32),
+                          (n_pad - n, OGp, 1))], axis=0)
+    rb = rb.reshape(-1)
+
+    # --- per-scan angle-addition scalars: cos/sin(theta - fov/2) against
+    # shared cos/sin(n * angle_inc) beam tables — the opponent pass uses
+    # CONTINUOUS beam angles (theta + scan_angles), not the theta LUT
+    theta0 = p[:, 2] - fov / 2.0
+    zc = jnp.zeros_like(theta0)
+    scalars = jnp.stack(
+        [p[:, 0], p[:, 1], jnp.cos(theta0), jnp.sin(theta0),
+         zc, zc, zc, zc], axis=-1)
+
+    n_idx = jnp.arange(RG * GROUP * LANES, dtype=jnp.float32).reshape(
+        RG, GROUP, LANES)
+    nb = jnp.concatenate(
+        [jnp.concatenate([jnp.cos(n_idx[rg] * angle_inc),
+                          jnp.sin(n_idx[rg] * angle_inc)], axis=0)
+         for rg in range(RG)], axis=0)
+
+    scr = jnp.pad(sc, ((0, n_pad - n), (0, R * LANES - num_beams))
+                  ).reshape(n_pad * R, LANES)
+
+    n_prog = n_pad // EAO
+    kern = functools.partial(_overlay_kernel, R, theta_dis, num_beams, OGp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((1, EAO, 8), lambda g, b: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b: (0, 0)),
+            pl.BlockSpec((1, EAO * OGp * GROUP, 8), lambda g, b: (g, 0, 0)),
+            pl.BlockSpec((EAO * R, LANES), lambda g, b: (g, 0)),
+        ],
+        out_specs=pl.BlockSpec((EAO * R, LANES), lambda g, b: (g, 0)),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(rb, scalars.reshape(n_prog, EAO, 8), nb,
+      rows.reshape(n_prog, EAO * OGp * GROUP, 8), scr)
+
+    out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
+    return out.reshape(*batch_shape, num_beams).astype(scans.dtype)
+
+
+def overlay_opponents_vmappable(scans, pose, opp_vertices, tables,
+                                num_beams, theta_dis, interpret=False):
+    """overlay_opponents_pallas that collapses under jax.vmap."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(sc, p, ov):
+        return overlay_opponents_pallas(sc, p, ov, tables, num_beams,
+                                        theta_dis, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, sc, p, ov):  # noqa: ANN001
+        return fn(sc, p, ov), True
+
+    return fn(scans, pose, opp_vertices)
 

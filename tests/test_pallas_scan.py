@@ -106,3 +106,49 @@ def test_engine_in_env_step(ring):
     assert np.all(scans > 0.0) and np.all(scans <= 30.01)
     # on a 3m-wide ring the nearest wall is < 1.6m away
     assert scans.min() < 1.6
+
+
+def test_fused_extras_match_unfused(ring):
+    """The fused noise+iTTC+opponent path must match the unfused XLA path.
+
+    Scan values are bit-identical on wall-only beams (same noise array,
+    same kernel ranges) and agree to f32 round-off on opponent-clipped
+    beams (the overlay kernel's inverse-range form vs the XLA
+    perpendicular form of the same intersection). Collision flags and
+    post-zeroing state must be identical.
+    """
+    from f1tenth_gym_tpu.core.env import env_reset, env_step
+    from f1tenth_gym_tpu.state import VehicleParams
+
+    m, tables = ring
+    base = dict(num_agents=3, num_beams=NB, dtype="float32",
+                scan_engine="pallas")
+    cfg_f = SimConfig(**base, fuse_extras=True)
+    cfg_u = SimConfig(**base, fuse_extras=False)
+    params = VehicleParams.create(dtype=jnp.float32)
+    # two agents close behind each other (opponent overlay active) + one
+    # heading for the wall (iTTC path active)
+    poses = jnp.asarray([[4.0, 0.0, np.pi / 2], [4.0, 0.9, np.pi / 2],
+                         [4.3, -1.0, 0.0]], jnp.float32)
+    sF, oF, *_ = env_reset(poses, jax.random.PRNGKey(3), params, m,
+                           tables, cfg_f, 0.01)
+    sU, oU, *_ = env_reset(poses, jax.random.PRNGKey(3), params, m,
+                           tables, cfg_u, 0.01)
+    actions = jnp.asarray([[0.0, 5.0]] * 3, jnp.float32)
+    hit = False
+    for i in range(200):
+        sF, oF, rF, dF, _ = env_step(sF, actions, params, m, tables,
+                                     cfg_f, 0.01)
+        sU, oU, rU, dU, _ = env_step(sU, actions, params, m, tables,
+                                     cfg_u, 0.01)
+        np.testing.assert_allclose(np.asarray(oF["scans"]),
+                                   np.asarray(oU["scans"]),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(sF.collisions),
+                                      np.asarray(sU.collisions))
+        np.testing.assert_allclose(np.asarray(sF.x), np.asarray(sU.x),
+                                   rtol=0, atol=1e-6)
+        if bool(np.asarray(dU).any()):
+            hit = True
+            break
+    assert hit, "rollout never hit a wall — iTTC path untested"
