@@ -152,3 +152,43 @@ def test_fused_extras_match_unfused(ring):
             hit = True
             break
     assert hit, "rollout never hit a wall — iTTC path untested"
+
+
+def test_overlay_kernel_fuzz_vs_xla(ring):
+    """overlay_opponents_pallas vs ops.collision.ray_cast_opponents.
+
+    Random scan poses and opponent boxes (including behind-the-scanner and
+    far-away placements) must agree to f32 round-off: same blocked-view
+    windows (closed form vs argmin over the uniform angle grid), same
+    ray/edge intersections (inverse-range vs perpendicular form).
+    """
+    from f1tenth_gym_tpu.ops.collision import get_vertices, ray_cast_opponents
+    from f1tenth_gym_tpu.ops.pallas_scan import overlay_opponents_pallas
+
+    m, tables = ring
+    rng = np.random.default_rng(0)
+    n, O = 40, 3
+    poses = np.stack([rng.uniform(-6, 6, n), rng.uniform(-6, 6, n),
+                      rng.uniform(0, 2 * np.pi, n)], axis=1).astype(np.float32)
+    # opponent centers scattered 0.5..12 m away in all directions
+    ang = rng.uniform(0, 2 * np.pi, (n, O))
+    dist = rng.uniform(0.5, 12.0, (n, O))
+    opp_poses = np.stack(
+        [poses[:, None, 0] + dist * np.cos(ang),
+         poses[:, None, 1] + dist * np.sin(ang),
+         rng.uniform(0, 2 * np.pi, (n, O))], axis=-1).astype(np.float32)
+    verts = jax.vmap(jax.vmap(
+        lambda p: get_vertices(p, jnp.float32(0.58), jnp.float32(0.31))
+    ))(jnp.asarray(opp_poses))                      # (n, O, 4, 2)
+    scans = jnp.asarray(
+        rng.uniform(2.0, 30.0, (n, NB)).astype(np.float32))
+
+    ref = jax.vmap(
+        lambda p, sc, ov: ray_cast_opponents(p, sc, ov, tables)
+    )(jnp.asarray(poses), scans, verts)
+    ker = overlay_opponents_pallas(scans, jnp.asarray(poses), verts,
+                                   tables, NB, TD, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
+                               rtol=0, atol=2e-3)
+    # the overlay must actually fire somewhere in this ensemble
+    assert float(jnp.sum(jnp.abs(ker - scans) > 1e-3)) > 50
