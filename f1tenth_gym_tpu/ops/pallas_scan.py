@@ -711,7 +711,14 @@ def _overlay_kernel(R, theta_dis, num_beams, OGp, rb_ref, orig_ref, nb_ref,
 
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1
                                       ).astype(jnp.float32)
-    out_ref[...] = scan_ref[...]
+    # copy the whole block through (out := in) in (8,128) tiles, then
+    # min-update only the touched rows below
+    n_rows = EAO * R
+    for i in range(0, n_rows - GROUP + 1, GROUP):
+        out_ref[i:i + GROUP, :] = scan_ref[i:i + GROUP, :]
+    if n_rows % GROUP:
+        out_ref[n_rows - (n_rows % GROUP):n_rows, :] = (
+            scan_ref[n_rows - (n_rows % GROUP):n_rows, :])
     pid = pl.program_id(0)
 
     for ea in range(EAO):
