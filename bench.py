@@ -275,6 +275,60 @@ def main():
         assert bool(jnp.all(c_hot > 0)) and not bool(jnp.any(c_cold > 0)), \
             f"collision gate: overlap={c_hot} apart={c_cold}"
 
+        # FUSED kernels on this chip (the timed path runs them when
+        # cfg.fuse_extras): the fused scan (noise=0) must match the
+        # unfused kernel bitwise, the fused iTTC row reduction must agree
+        # with check_ttc, and the opponent-overlay kernel must agree with
+        # the XLA ray-cast to f32 round-off
+        if cfg.fuse_extras:
+            from f1tenth_gym_tpu.ops.pallas_scan import (
+                overlay_opponents_pallas, scan_pallas_fused_vmappable,
+            )
+
+            gate_poses = poses[:16].reshape(-1, 3)
+            gvel = jnp.full((gate_poses.shape[0],), 8.0, jnp.float32)
+            interp = jax.default_backend() != "tpu"
+            f_scan, f_hit = scan_pallas_fused_vmappable(
+                gate_poses, jnp.zeros((gate_poses.shape[0], num_beams),
+                                      jnp.float32), gvel,
+                map_data.seg_table, tables, num_beams, cfg.theta_dis,
+                interpret=interp, tile_tables=map_data.tile_tables,
+                tile_ngroups=map_data.tile_ngroups,
+                tile_meta=map_data.tile_meta)
+            u_scan = scan_pallas(
+                gate_poses, map_data.seg_table, tables, num_beams,
+                cfg.theta_dis, interpret=interp,
+                tile_tables=map_data.tile_tables,
+                tile_ngroups=map_data.tile_ngroups,
+                tile_meta=map_data.tile_meta)
+            fused_mse = float(jnp.mean((f_scan - u_scan) ** 2))
+            assert fused_mse < 1e-9, \
+                f"fused-vs-unfused scan kernels differ: mse={fused_mse}"
+            ref_hit = check_ttc(u_scan, gvel, tables)
+            assert bool(jnp.all(f_hit == ref_hit)), \
+                f"fused iTTC disagrees with check_ttc: {f_hit} vs {ref_hit}"
+            # an opponent 1.2 m dead ahead of scan 0 — the overlay must
+            # actually fire, not just agree vacuously
+            th0 = gate_poses[0, 2]
+            opp_pose = gate_poses[:1] + jnp.stack(
+                [1.2 * jnp.cos(th0), 1.2 * jnp.sin(th0),
+                 jnp.float32(0.0)])[None]
+            opp_v = col_ops.get_vertices(
+                opp_pose, params.length, params.width)[None]  # (1, 1, 4, 2)
+            o_ker = overlay_opponents_pallas(
+                u_scan[:1], gate_poses[:1], opp_v, tables, num_beams,
+                cfg.theta_dis, interpret=interp)
+            o_ref = col_ops.ray_cast_opponents(
+                gate_poses[0], u_scan[0], opp_v[0], tables)
+            overlay_err = float(jnp.max(jnp.abs(o_ker[0] - o_ref)))
+            assert overlay_err < 1e-2, \
+                f"overlay kernel vs XLA ray-cast: max err {overlay_err}"
+            assert float(jnp.max(jnp.abs(o_ref - u_scan[0]))) > 0.1, \
+                "overlay gate is vacuous: the dead-ahead opponent did " \
+                "not clip any beam"
+            gate_mse["fused_scan_vs_unfused"] = fused_mse
+            gate_mse["overlay_max_err"] = round(overlay_err, 6)
+
     # crashed envs restart on their OWN start grid (reference reset
     # semantics, f110_env.py:306) — also keeps the batch's spatial order
     astep = make_autoreset_step(
@@ -301,18 +355,23 @@ def main():
     # remote-compile path; dispatch overhead is negligible at these sizes.
     # The map rides as a jit ARGUMENT (astep.impl) so its culling tables
     # are program parameters, not embedded constants.
-    @jax.jit
-    def fused_step(s, k, m):
-        k, sub = jax.random.split(k)
-        obs = {
-            "scans": s.scans,
-            "poses_x": s.x[..., 0],
-            "poses_y": s.x[..., 1],
-            "poses_theta": s.x[..., 4],
-        }
-        actions = policy(sub, obs)
-        s, _, reward, done, _ = astep.impl(s, actions, m)
-        return s, k, jnp.sum(done)
+    def make_fused_step(astep):
+        @jax.jit
+        def fused_step(s, k, m):
+            k, sub = jax.random.split(k)
+            obs = {
+                "scans": s.scans,
+                "poses_x": s.x[..., 0],
+                "poses_y": s.x[..., 1],
+                "poses_theta": s.x[..., 4],
+            }
+            actions = policy(sub, obs)
+            s, _, reward, done, _ = astep.impl(s, actions, m)
+            return s, k, jnp.sum(done)
+
+        return fused_step
+
+    fused_step = make_fused_step(astep)
 
     # locality sort keyed to the map's culling grid when available
     sort_kw = {}
@@ -340,20 +399,7 @@ def main():
         cfg = dataclasses.replace(cfg, fuse_extras=False)
         astep = make_autoreset_step(
             params, map_data, tables, cfg, 0.01, reset_to_start=True)
-
-        @jax.jit
-        def fused_step(s, k, m):  # noqa: F811
-            k, sub = jax.random.split(k)
-            obs = {
-                "scans": s.scans,
-                "poses_x": s.x[..., 0],
-                "poses_y": s.x[..., 1],
-                "poses_theta": s.x[..., 4],
-            }
-            actions = policy(sub, obs)
-            s, _, reward, done, _ = astep.impl(s, actions, m)
-            return s, k, jnp.sum(done)
-
+        fused_step = make_fused_step(astep)
         s, k, d = fused_step(states, jax.random.PRNGKey(1), map_data)
         if engine == "pallas":
             s = sort_envs_for_locality(s, **sort_kw)

@@ -181,7 +181,14 @@ class F110VectorEnv(_VectorBase):
         rewards = np.where(self._pending_reset, 0.0,
                            np.asarray(reward, np.float64))
         terminations = done_np & ~self._pending_reset
-        self._pending_reset = done_np
+        # pending tracks "this step REPORTED a termination" (so the next
+        # step is that env's reset/spawn step). Tracking raw done here
+        # instead would permanently swallow terminations of an env whose
+        # spawn state is itself terminal (e.g. an overlapping start grid):
+        # done stays True every step and `& ~pending` masks it forever.
+        # With `terminations`, such an env alternates report/reset —
+        # 1-step episodes, which is what immediate-death spawns are.
+        self._pending_reset = terminations.copy()
         truncations = np.zeros(self.num_envs, bool)
         return (self._host_obs(obs), rewards, terminations, truncations, {})
 

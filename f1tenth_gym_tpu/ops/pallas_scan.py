@@ -387,6 +387,47 @@ def _scan_kernel(R, theta_dis, num_beams, phases, fuse, bid_ref, ng_ref,
                     pend = []
 
 
+def select_windows(tig, tjg, tile_ngroups, T, nx, ny, full_ng):
+    """Per-subgroup culled-window choice: the ONE definition of the
+    selection cascade, shared by scan_pallas and tools/culling_stats.py.
+
+    tig/tjg: (nsub, SUB) tile indices of each subgroup's scans. Picks the
+    tightest v8 window table (ops/culling.py pack) indexed by the
+    subgroup's LOWER-LEFT tile: 1x1 when all its scans share a tile, 2x2
+    when they span <= 1 tile per axis, 4x4 for spread <= 3, 8x8 for
+    spread <= 7, else the full set (also on sentinel -1 = that window's
+    table would be no smaller than the full set). Returns (bid, ng):
+    bid 0 = full-table fallback, else 1 + merged-pack block index.
+    Pure jnp; works on numpy inputs too.
+    """
+    ti_lo, ti_hi = tig.min(-1), tig.max(-1)
+    tj_lo, tj_hi = tjg.min(-1), tjg.max(-1)
+    in_grid = (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
+    sx = ti_hi - ti_lo
+    sy = tj_hi - tj_lo
+    tidx = jnp.clip(tj_lo * nx + ti_lo, 0, T - 1)
+    ng_w2 = tile_ngroups[1 + tidx].astype(jnp.int32)
+    ng_w1 = tile_ngroups[1 + T + tidx].astype(jnp.int32)
+    ng_w4 = tile_ngroups[1 + 2 * T + tidx].astype(jnp.int32)
+    ng_w8 = tile_ngroups[1 + 3 * T + tidx].astype(jnp.int32)
+    use1 = in_grid & (sx == 0) & (sy == 0) & (ng_w1 > 0)
+    use2 = in_grid & (sx <= 1) & (sy <= 1) & (ng_w2 > 0) & ~use1
+    use4 = (in_grid & (sx <= 3) & (sy <= 3) & (ng_w4 > 0)
+            & ~use1 & ~use2)
+    use8 = (in_grid & (sx <= 7) & (sy <= 7) & (ng_w8 > 0)
+            & ~use1 & ~use2 & ~use4)
+    bid = jnp.where(use1, 1 + T + tidx,
+                    jnp.where(use2, 1 + tidx,
+                              jnp.where(use4, 1 + 2 * T + tidx,
+                                        jnp.where(use8, 1 + 3 * T + tidx,
+                                                  0))))
+    ng = jnp.where(use1, ng_w1,
+                   jnp.where(use2, ng_w2,
+                             jnp.where(use4, ng_w4,
+                                       jnp.where(use8, ng_w8, full_ng))))
+    return bid, ng
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_beams", "theta_dis", "interpret", "phases",
@@ -399,9 +440,9 @@ def scan_pallas(
     theta_dis: int,
     interpret: bool = False,
     phases: str = "dirs,sweep,out",  # debug-only phase mask (see kernel)
-    tile_tables: jnp.ndarray = None,   # (3*n_tiles, Kmax, 8), ops/culling.py
-    tile_ngroups: jnp.ndarray = None,  # (3*n_tiles + 1,) i32
-    tile_meta: jnp.ndarray = None,     # (6,) [x0, y0, 1/ts, nx, ny, r]
+    tile_tables: jnp.ndarray = None,   # (4*n_tiles, Kmax, 8) v8 pack
+    tile_ngroups: jnp.ndarray = None,  # (4*n_tiles + 1,) i32, [0]=full
+    tile_meta: jnp.ndarray = None,     # (6,) [x0, y0, 1/ts, nx, ny, spread]
     fuse: bool = False,                # fused noise + iTTC epilogue
     noise: jnp.ndarray = None,         # (..., num_beams) additive noise
     vel: jnp.ndarray = None,           # (...,) longitudinal velocity
@@ -500,40 +541,9 @@ def scan_pallas(
         ny = tile_meta[4].astype(jnp.int32)
         ti = jnp.floor((p[:, 0] - x0) * inv_ts).astype(jnp.int32)
         tj = jnp.floor((p[:, 1] - y0) * inv_ts).astype(jnp.int32)
-        tig = ti.reshape(nsub, SUB)
-        tjg = tj.reshape(nsub, SUB)
-        ti_lo, ti_hi = tig.min(-1), tig.max(-1)
-        tj_lo, tj_hi = tjg.min(-1), tjg.max(-1)
-        in_grid = (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
-        sx = ti_hi - ti_lo
-        sy = tj_hi - tj_lo
-        # tightest window indexed by the subgroup's LOWER-LEFT tile: 1x1
-        # when all its scans share a tile, 2x2 for spread <= 1 per axis,
-        # 4x4 for spread <= 3, 8x8 for spread <= 7, else the full set
-        # (also on sentinel -1 = that window's table would be no smaller
-        # than the full set)
-        T = tile_tables.shape[0] // 4
-        tidx = jnp.clip(tj_lo * nx + ti_lo, 0, T - 1)
-        ng_w2 = tile_ngroups[1 + tidx].astype(jnp.int32)
-        ng_w1 = tile_ngroups[1 + T + tidx].astype(jnp.int32)
-        ng_w4 = tile_ngroups[1 + 2 * T + tidx].astype(jnp.int32)
-        ng_w8 = tile_ngroups[1 + 3 * T + tidx].astype(jnp.int32)
-        use1 = in_grid & (sx == 0) & (sy == 0) & (ng_w1 > 0)
-        use2 = in_grid & (sx <= 1) & (sy <= 1) & (ng_w2 > 0) & ~use1
-        use4 = (in_grid & (sx <= 3) & (sy <= 3) & (ng_w4 > 0)
-                & ~use1 & ~use2)
-        use8 = (in_grid & (sx <= 7) & (sy <= 7) & (ng_w8 > 0)
-                & ~use1 & ~use2 & ~use4)
-        bid = jnp.where(use1, 1 + T + tidx,
-                        jnp.where(use2, 1 + tidx,
-                                  jnp.where(use4, 1 + 2 * T + tidx,
-                                            jnp.where(use8, 1 + 3 * T + tidx,
-                                                      0))))
-        ng = jnp.where(use1, ng_w1,
-                       jnp.where(use2, ng_w2,
-                                 jnp.where(use4, ng_w4,
-                                           jnp.where(use8, ng_w8,
-                                                     Kf // GROUP))))
+        bid, ng = select_windows(
+            ti.reshape(nsub, SUB), tj.reshape(nsub, SUB), tile_ngroups,
+            tile_tables.shape[0] // 4, nx, ny, Kf // GROUP)
 
     Kt = tabs.shape[1]
     assert EA % SUB == 0, f"EA={EA} must be a multiple of SUB={SUB}"

@@ -216,6 +216,28 @@ def uniform_pose_sampler(map_data: MapData, clearance: float = 0.6,
     return sample
 
 
+def tile_snake_key(x, y, tile_size: float, origin=(0.0, 0.0)):
+    """Boustrophedon (snake) tile-order sort key for env positions.
+
+    The ONE definition of the locality key used by sort_envs_for_locality
+    and the culling tools (tools/culling_stats.py, tools/kernel_phases.py)
+    — keep them keyed identically or the tools measure a different
+    workload distribution than the bench runs. Works on jnp and np arrays
+    (pure jnp ops). Primary: snake order over culling tiles; secondary:
+    snaked tile QUADRANT, so half-tile program fragments pack into one
+    corner and spill into the adjacent quadrant.
+    """
+    tx = (x - origin[0]) / tile_size
+    ty = (y - origin[1]) / tile_size
+    ti = jnp.floor(tx)
+    tj = jnp.floor(ty)
+    snake = jnp.where(jnp.mod(tj, 2.0) == 0.0, ti, 4095.0 - ti)
+    fx = jnp.floor((tx - ti) * 2.0)
+    fy = jnp.floor((ty - tj) * 2.0)
+    fxs = jnp.where(jnp.mod(fy, 2.0) == 0.0, fx, 1.0 - fx)
+    return (tj * 4096.0 + snake) * 4.0 + fy * 2.0 + fxs
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def sort_envs_for_locality(states: SimState, tile_size: float = None,
                            origin: Tuple[float, float] = (0.0, 0.0)) -> SimState:
@@ -257,17 +279,7 @@ def sort_envs_for_locality(states: SimState, tile_size: float = None,
     else:
         mx = states.x[:, :, 0].mean(axis=1)
         my = states.x[:, :, 1].mean(axis=1)
-        tx = (mx - origin[0]) / tile_size
-        ty = (my - origin[1]) / tile_size
-        ti = jnp.floor(tx)
-        tj = jnp.floor(ty)
-        snake = jnp.where(jnp.mod(tj, 2.0) == 0.0, ti, 4095.0 - ti)
-        # secondary: tile quadrant (snaked), so EA=8 half-programs pack
-        # into one corner of a tile and spill into the adjacent quadrant
-        fx = jnp.floor((tx - ti) * 2.0)
-        fy = jnp.floor((ty - tj) * 2.0)
-        fxs = jnp.where(jnp.mod(fy, 2.0) == 0.0, fx, 1.0 - fx)
-        key = (tj * 4096.0 + snake) * 4.0 + fy * 2.0 + fxs
+        key = tile_snake_key(mx, my, tile_size, origin)
     order = jnp.argsort(key)
     return jax.tree.map(lambda l: jnp.take(l, order, axis=0), states)
 

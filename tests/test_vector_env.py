@@ -90,3 +90,26 @@ def test_vector_entry_point_registration():
     assert register_gymnasium_vector()
     spec = gymnasium.registry.get("f1tenth_tpu/f110-v0")
     assert spec is not None and spec.vector_entry_point
+
+
+def test_terminal_spawn_not_swallowed():
+    """An env whose spawn state is itself terminal (overlapping start
+    poses) must keep REPORTING terminations — alternating 1-step
+    episodes — not fall silent after the first one (round-3 fix:
+    _pending_reset tracks reported terminations, not raw done)."""
+    import jax.numpy as jnp
+
+    poses = np.tile(np.array([[[0.7, 0.0, 1.37], [0.75, 0.0, 1.37]]],
+                             np.float32), (4, 1, 1))  # overlapping pair
+    env = F110VectorEnv(num_envs=4, map=map_path("compact"), num_agents=2,
+                        num_beams=108, scan_engine="march",
+                        dtype="float32", poses=poses, seed=2)
+    env.reset(seed=2)
+    a = np.zeros((4, 2, 2), np.float32)
+    reports = []
+    for _ in range(6):
+        _, _, term, _, _ = env.step(a)
+        reports.append(bool(term.any()))
+    assert sum(reports) >= 3, (
+        f"terminal-spawn terminations were swallowed: {reports}")
+    env.close()

@@ -26,8 +26,9 @@ import numpy as np  # noqa: E402
 
 from f1tenth_gym_tpu import load_map  # noqa: E402
 from f1tenth_gym_tpu.maps import map_path as bundled_map  # noqa: E402
-from f1tenth_gym_tpu.ops.pallas_scan import EA, GROUP, SUB  # noqa: E402
-from f1tenth_gym_tpu.parallel import uniform_pose_sampler  # noqa: E402
+from f1tenth_gym_tpu.ops.pallas_scan import EA, GROUP, SUB, select_windows  # noqa: E402
+from f1tenth_gym_tpu.parallel import uniform_pose_sampler
+from f1tenth_gym_tpu.parallel.vector import tile_snake_key  # noqa: E402
 
 
 def stats_for(md, poses):
@@ -46,24 +47,13 @@ def stats_for(md, poses):
     p = np.concatenate([p, np.zeros((n_pad - n, 3), np.float32)])
     ti = np.floor((p[:, 0] - x0) * inv_ts).astype(int).reshape(-1, SUB)
     tj = np.floor((p[:, 1] - y0) * inv_ts).astype(int).reshape(-1, SUB)
-    ti_lo, ti_hi = ti.min(1), ti.max(1)
-    tj_lo, tj_hi = tj.min(1), tj.max(1)
-    sx, sy = ti_hi - ti_lo, tj_hi - tj_lo
-    in_grid = (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
-    tidx = np.clip(tj_lo * nx + ti_lo, 0, T - 1)
-    ng_w2 = ng_all[1 + tidx]
-    ng_w1 = ng_all[1 + T + tidx]
-    ng_w4 = ng_all[1 + 2 * T + tidx]
-    ng_w8 = ng_all[1 + 3 * T + tidx]
-    use1 = in_grid & (sx == 0) & (sy == 0) & (ng_w1 > 0)
-    use2 = in_grid & (sx <= 1) & (sy <= 1) & (ng_w2 > 0) & ~use1
-    use4 = in_grid & (sx <= 3) & (sy <= 3) & (ng_w4 > 0) & ~use1 & ~use2
-    use8 = (in_grid & (sx <= 7) & (sy <= 7) & (ng_w8 > 0)
-            & ~use1 & ~use2 & ~use4)
-    ng = np.where(use1, ng_w1,
-                  np.where(use2, ng_w2,
-                           np.where(use4, ng_w4,
-                                    np.where(use8, ng_w8, full_ng))))
+    # the kernel's own selection cascade — shared, not re-implemented
+    bid, ng = select_windows(ti, tj, ng_all, T, nx, ny, full_ng)
+    bid, ng = np.asarray(bid), np.asarray(ng)
+    use1 = (bid >= 1 + T) & (bid < 1 + 2 * T)
+    use2 = (bid >= 1) & (bid < 1 + T)
+    use4 = (bid >= 1 + 2 * T) & (bid < 1 + 3 * T)
+    use8 = bid >= 1 + 3 * T
     return {
         "programs": n_pad // EA,
         "subgroups": len(ng),
@@ -87,15 +77,12 @@ def main():
                                    grouped=True, align_theta=True)
     poses = np.asarray(sampler(jax.random.PRNGKey(7), (num_envs, 2)),
                        np.float32)
-    # the bench's tile-snake sort on env (agent-midpoint) keys
+    # the bench's tile-snake sort on env (agent-midpoint) keys — the
+    # SHARED key definition (parallel.vector.tile_snake_key)
     tm = np.asarray(md.tile_meta)
-    tx = (poses[:, :, 0].mean(1) - tm[0]) * tm[2]
-    ty = (poses[:, :, 1].mean(1) - tm[1]) * tm[2]
-    ti, tj = np.floor(tx), np.floor(ty)
-    snake = np.where(tj % 2 == 0, ti, 4095.0 - ti)
-    fx, fy = np.floor((tx - ti) * 2), np.floor((ty - tj) * 2)
-    fxs = np.where(fy % 2 == 0, fx, 1.0 - fx)
-    key = (tj * 4096.0 + snake) * 4.0 + fy * 2.0 + fxs
+    key = np.asarray(tile_snake_key(
+        poses[:, :, 0].mean(1), poses[:, :, 1].mean(1),
+        1.0 / float(tm[2]), (float(tm[0]), float(tm[1]))))
     poses = poses[np.argsort(key, kind="stable")]
 
     s = stats_for(md, poses.reshape(-1, 3))

@@ -37,6 +37,7 @@ from f1tenth_gym_tpu import SimConfig, load_map, make_scan_tables
 from f1tenth_gym_tpu.maps import map_path as bundled_map
 from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas
 from f1tenth_gym_tpu.parallel import uniform_pose_sampler
+from f1tenth_gym_tpu.parallel.vector import tile_snake_key
 
 
 def main():
@@ -55,14 +56,13 @@ def main():
                                    grouped=True, align_theta=True)
     poses = np.asarray(sampler(jax.random.PRNGKey(7), (n_scans // 2, 2)),
                        np.float32)
-    # tile-snake locality sort on the scan midpoints (matches bench)
+    # tile-snake locality sort on the scan midpoints — the SHARED bench
+    # key (parallel.vector.tile_snake_key, incl. the quadrant secondary)
     tm = np.asarray(md.tile_meta)
-    mx = poses[:, :, 0].mean(1)
-    my = poses[:, :, 1].mean(1)
-    ti = np.floor((mx - tm[0]) * tm[2])
-    tj = np.floor((my - tm[1]) * tm[2])
-    snake = np.where(tj % 2 == 0, ti, 4095 - ti)
-    poses = poses[np.argsort(tj * 4096 + snake, kind="stable")]
+    key = np.asarray(tile_snake_key(
+        poses[:, :, 0].mean(1), poses[:, :, 1].mean(1),
+        1.0 / float(tm[2]), (float(tm[0]), float(tm[1]))))
+    poses = poses[np.argsort(key, kind="stable")]
     p = jnp.asarray(poses.reshape(-1, 3))
 
     results = {}
