@@ -101,13 +101,20 @@ def rasterize_track(
     track_width: float,
     resolution: float = 0.0625,
     margin: float = 2.0,
-    wall_px: int = 2,
+    wall_px: int = 2,  # kept for API compat; solid walls ignore it
 ) -> Tuple[np.ndarray, float, Tuple[float, float, float]]:
-    """Rasterize wall polylines -> (bitmap, resolution, origin).
+    """Rasterize the track corridor -> (bitmap, resolution, origin).
 
-    Convention matches the reference maps: white (255) everywhere is free,
-    walls are thin black lines — so LiDAR sees through open space until a
-    wall line, and the EDT treats only wall pixels as obstacles.
+    Only the corridor (between the inner and outer wall polylines) is
+    free (255); everything else — outside the outer wall AND the inner
+    island — is solid wall (0). Solid regions instead of thin wall LINES
+    matter for the segment/Pallas engines: the contour tracer then emits
+    one boundary per wall FACE the LiDAR can actually see, instead of
+    wrapping both sides + caps of each thin line — about half the
+    segments, none of which the umbra culling could prune (a face 2 px
+    behind its twin shares endpoints with it, so the strict-crossing
+    occlusion proof keeps it). Scan semantics are unchanged: rays stop at
+    the same wall boundary either way.
     """
     import cv2
 
@@ -122,7 +129,8 @@ def rasterize_track(
     size_px = np.ceil((hi - lo) / resolution).astype(int)
     w_px, h_px = int(size_px[0]), int(size_px[1])
 
-    canvas = np.full((h_px, w_px), 255, dtype=np.uint8)
+    # all wall; carve the corridor free, re-fill the inner island
+    canvas = np.zeros((h_px, w_px), dtype=np.uint8)
 
     def to_px(poly):
         # row 0 = world bottom (the loader flips the on-disk image; this
@@ -130,10 +138,17 @@ def rasterize_track(
         px = np.round((poly - lo) / resolution).astype(np.int32)
         return px.reshape(-1, 1, 2)
 
-    cv2.polylines(canvas, [to_px(inner)], isClosed=True, color=0,
-                  thickness=wall_px)
-    cv2.polylines(canvas, [to_px(outer)], isClosed=True, color=0,
-                  thickness=wall_px)
+    def signed_area(poly):
+        x, y = poly[:, 0], poly[:, 1]
+        return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+    # the centerline's winding decides which offset ring is the bigger
+    # polygon — fill the bigger one free, then re-fill the island solid
+    big, small = ((outer, inner)
+                  if abs(signed_area(outer)) >= abs(signed_area(inner))
+                  else (inner, outer))
+    cv2.fillPoly(canvas, [to_px(big)], color=255)
+    cv2.fillPoly(canvas, [to_px(small)], color=0)
     origin = (float(lo[0]), float(lo[1]), 0.0)
     return canvas.astype(np.float64), resolution, origin
 
