@@ -162,8 +162,11 @@ def main():
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
     num_agents = int(os.environ.get("BENCH_AGENTS", 2))
+    # fused extras measured slower than the XLA extras path on v5e (see
+    # SimConfig.fuse_extras); BENCH_FUSE=1 re-enables for measurement
+    fuse = os.environ.get("BENCH_FUSE", "0") == "1"
     cfg = SimConfig(num_agents=num_agents, num_beams=num_beams,
-                    dtype="float32", scan_engine=engine)
+                    dtype="float32", scan_engine=engine, fuse_extras=fuse)
     params = VehicleParams.create(dtype=jnp.float32)
     tables = make_scan_tables(num_beams=num_beams, dtype=jnp.float32)
 
@@ -353,11 +356,15 @@ def main():
     # one jitted program: autoreset step + policy fused. A python loop over
     # it (rather than a big lax.scan) keeps compile time bounded on the
     # remote-compile path; dispatch overhead is negligible at these sizes.
-    # The map rides as a jit ARGUMENT (astep.impl) so its culling tables
-    # are program parameters, not embedded constants.
+    # The map is CLOSED OVER (embedded as jit constants): measured 1.1 ms/
+    # step faster than passing it as a jit argument on v5e (tools/
+    # step_variants.py — argument-mode tables defeat XLA's constant
+    # hoisting around the kernel operands). Argument mode (astep.impl with
+    # the map in the jit signature) exists for multi-track worlds whose
+    # tables are too large to embed in a remote-compile request.
     def make_fused_step(astep):
         @jax.jit
-        def fused_step(s, k, m):
+        def fused_step(s, k):
             k, sub = jax.random.split(k)
             obs = {
                 "scans": s.scans,
@@ -366,7 +373,7 @@ def main():
                 "poses_theta": s.x[..., 4],
             }
             actions = policy(sub, obs)
-            s, _, reward, done, _ = astep.impl(s, actions, m)
+            s, _, reward, done, _ = astep.impl(s, actions, map_data)
             return s, k, jnp.sum(done)
 
         return fused_step
@@ -387,7 +394,7 @@ def main():
     # the unfused pallas path rather than losing the bench run.
     t0 = time.time()
     try:
-        s, k, d = fused_step(states, jax.random.PRNGKey(1), map_data)
+        s, k, d = fused_step(states, jax.random.PRNGKey(1))
         if engine == "pallas":
             s = sort_envs_for_locality(s, **sort_kw)
         _ = float(jnp.sum(s.x))
@@ -400,7 +407,7 @@ def main():
         astep = make_autoreset_step(
             params, map_data, tables, cfg, 0.01, reset_to_start=True)
         fused_step = make_fused_step(astep)
-        s, k, d = fused_step(states, jax.random.PRNGKey(1), map_data)
+        s, k, d = fused_step(states, jax.random.PRNGKey(1))
         if engine == "pallas":
             s = sort_envs_for_locality(s, **sort_kw)
         _ = float(jnp.sum(s.x))
@@ -412,7 +419,7 @@ def main():
     for i in range(num_steps):
         if engine == "pallas" and i % sort_period == 0:
             s = sort_envs_for_locality(s, **sort_kw)
-        s, k, d = fused_step(s, k, map_data)
+        s, k, d = fused_step(s, k)
     _ = float(jnp.sum(s.x))  # fence
     elapsed = time.time() - t0
     dones = int(d)

@@ -82,7 +82,15 @@ class SimConfig:
     # opponent-edge intersections run in f32 inside the kernel, and the
     # reference's collinear-ray fallback (laser_models.py:275-278, a
     # measure-zero geometry) is not reproduced on this path.
-    fuse_extras: bool = True
+    # DEFAULT OFF: measured a net LOSS on v5e (tools/step_variants.py,
+    # round 4) — the fused scan epilogue costs +0.5 ms/8192 scans (the
+    # noise ARRAY operand re-adds the HBM traffic the fusion removed) and
+    # the opponent overlay kernel costs 3.1 ms where the XLA ray-cast path
+    # runs the whole noise+iTTC+opponent block in 1.6 ms (XLA already
+    # fuses those elementwise passes). 413k vs 525k env-steps/s end to
+    # end (BENCH_r03 vs round-2). Kept as an option because the kernels
+    # are exact (bench.py gates them on-chip when enabled).
+    fuse_extras: bool = False
     # Computation dtype for the simulation state ("float32" on TPU;
     # "float64" for CPU parity testing vs the float64 reference).
     dtype: str = "float32"

@@ -67,12 +67,16 @@ def main():
 
     results = {}
     for phases in ("dirs", "dirs,sweep", "dirs,sweep,out"):
-        def f(pp):
+        # outer jit closing over the map (tables as CONSTANTS) — the
+        # configuration bench.py runs; argument-mode tables measured
+        # ~1.1 ms/step slower (tools/step_variants.py)
+        @jax.jit
+        def f(pp, _phases=phases):
             return scan_pallas(pp, md.seg_table, tables, num_beams,
                                cfg.theta_dis, tile_tables=md.tile_tables,
                                tile_ngroups=md.tile_ngroups,
                                tile_meta=md.tile_meta,
-                               phases=phases)
+                               phases=_phases)
         r = f(p)
         _ = float(jnp.sum(r))
         t0 = time.time()
