@@ -235,6 +235,8 @@ def main():
                               cfg.theta_dis, tile_tables=md.tile_tables,
                               tile_ngroups=md.tile_ngroups,
                               tile_meta=md.tile_meta,
+                       tile_blockmap=md.tile_blockmap,
+                       tile_ext=md.tile_ext,
                               interpret=jax.default_backend() != "tpu")
             return float(jnp.mean((march - pal) ** 2))
 
@@ -297,13 +299,17 @@ def main():
                 map_data.seg_table, tables, num_beams, cfg.theta_dis,
                 interpret=interp, tile_tables=map_data.tile_tables,
                 tile_ngroups=map_data.tile_ngroups,
-                tile_meta=map_data.tile_meta)
+                tile_meta=map_data.tile_meta,
+                       tile_blockmap=map_data.tile_blockmap,
+                       tile_ext=map_data.tile_ext)
             u_scan = scan_pallas(
                 gate_poses, map_data.seg_table, tables, num_beams,
                 cfg.theta_dis, interpret=interp,
                 tile_tables=map_data.tile_tables,
                 tile_ngroups=map_data.tile_ngroups,
-                tile_meta=map_data.tile_meta)
+                tile_meta=map_data.tile_meta,
+                       tile_blockmap=map_data.tile_blockmap,
+                       tile_ext=map_data.tile_ext)
             fused_mse = float(jnp.mean((f_scan - u_scan) ** 2))
             assert fused_mse < 1e-9, \
                 f"fused-vs-unfused scan kernels differ: mse={fused_mse}"
@@ -353,18 +359,20 @@ def main():
         speed = jnp.clip(0.8 * front, 1.0, 4.0)
         return jnp.stack([steer, speed], axis=-1)
 
-    # one jitted program: autoreset step + policy fused. A python loop over
-    # it (rather than a big lax.scan) keeps compile time bounded on the
-    # remote-compile path; dispatch overhead is negligible at these sizes.
-    # The map is CLOSED OVER (embedded as jit constants): measured 1.1 ms/
-    # step faster than passing it as a jit argument on v5e (tools/
-    # step_variants.py — argument-mode tables defeat XLA's constant
-    # hoisting around the kernel operands). Argument mode (astep.impl with
-    # the map in the jit signature) exists for multi-track worlds whose
-    # tables are too large to embed in a remote-compile request.
-    def make_fused_step(astep):
-        @jax.jit
-        def fused_step(s, k):
+    # one jitted program: autoreset step + policy fused; one dispatch per
+    # step (BENCH_CHUNK>1 wraps chunks of steps in a lax.scan instead —
+    # measured a WASH end to end on v5e: 592-598k at chunk 16/4 vs 611k
+    # at 1, within the tunnel's run-to-run variance; an earlier +0.35
+    # ms/step "dispatch win" in tools/step_variants.py was an artifact of
+    # re-timing a pristine pre-sorted state). The map is CLOSED OVER
+    # (embedded as jit constants) — 1.1 ms/step faster than passing it as
+    # a jit argument (argument-mode tables defeat XLA's constant hoisting
+    # around the kernel operands); argument mode (astep.impl with the map
+    # in the jit signature) exists for multi-track worlds whose tables
+    # are too large to embed in a remote-compile request.
+    def make_fused_chunk(astep, chunk_steps):
+        def one(carry, _):
+            s, k = carry
             k, sub = jax.random.split(k)
             obs = {
                 "scans": s.scans,
@@ -374,11 +382,23 @@ def main():
             }
             actions = policy(sub, obs)
             s, _, reward, done, _ = astep.impl(s, actions, map_data)
-            return s, k, jnp.sum(done)
+            return (s, k), jnp.sum(done)
 
-        return fused_step
+        if chunk_steps == 1:
+            # no lax.scan wrapper: a length-1 scan measured PATHOLOGICAL
+            # (85k env-steps/s — the carry defeats buffer donation)
+            @jax.jit
+            def fused_chunk(s, k):
+                (s, k), d = one((s, k), None)
+                return s, k, d
+        else:
+            @jax.jit
+            def fused_chunk(s, k):
+                (s, k), dones = jax.lax.scan(one, (s, k), None,
+                                             length=chunk_steps)
+                return s, k, jnp.sum(dones)
 
-    fused_step = make_fused_step(astep)
+        return fused_chunk
 
     # locality sort keyed to the map's culling grid when available
     sort_kw = {}
@@ -387,6 +407,9 @@ def main():
         sort_kw = dict(tile_size=1.0 / float(tm[2]),
                        origin=(float(tm[0]), float(tm[1])))
     sort_period = int(os.environ.get("BENCH_SORT_PERIOD", 16))
+    chunk_steps = int(os.environ.get("BENCH_CHUNK", 1))
+    assert sort_period % chunk_steps == 0 and num_steps % sort_period == 0
+    fused_chunk = make_fused_chunk(astep, chunk_steps)
 
     # warmup / compile (forced readback: block_until_ready can return early
     # on tunneled backends, so fence with a host transfer). If the fused
@@ -394,7 +417,7 @@ def main():
     # the unfused pallas path rather than losing the bench run.
     t0 = time.time()
     try:
-        s, k, d = fused_step(states, jax.random.PRNGKey(1))
+        s, k, d = fused_chunk(states, jax.random.PRNGKey(1))
         if engine == "pallas":
             s = sort_envs_for_locality(s, **sort_kw)
         _ = float(jnp.sum(s.x))
@@ -406,23 +429,26 @@ def main():
         cfg = dataclasses.replace(cfg, fuse_extras=False)
         astep = make_autoreset_step(
             params, map_data, tables, cfg, 0.01, reset_to_start=True)
-        fused_step = make_fused_step(astep)
-        s, k, d = fused_step(states, jax.random.PRNGKey(1))
+        fused_chunk = make_fused_chunk(astep, sort_period)
+        s, k, d = fused_chunk(states, jax.random.PRNGKey(1))
         if engine == "pallas":
             s = sort_envs_for_locality(s, **sort_kw)
         _ = float(jnp.sum(s.x))
     compile_time = time.time() - t0
 
     # timed (includes the periodic locality re-sort that keeps pallas
-    # programs tile-homogeneous — part of the honest steady-state cost)
+    # programs tile-homogeneous — part of the honest steady-state cost;
+    # one chunk dispatch per sort period)
     t0 = time.time()
-    for i in range(num_steps):
-        if engine == "pallas" and i % sort_period == 0:
+    d_total = jnp.zeros((), jnp.int32)
+    for i in range(num_steps // chunk_steps):
+        if engine == "pallas" and i % (sort_period // chunk_steps) == 0:
             s = sort_envs_for_locality(s, **sort_kw)
-        s, k, d = fused_step(s, k)
+        s, k, d = fused_chunk(s, k)
+        d_total = d_total + d  # device-side: no mid-loop host sync
     _ = float(jnp.sum(s.x))  # fence
     elapsed = time.time() - t0
-    dones = int(d)
+    dones = int(d_total)
 
     steps_per_sec = num_envs * num_steps / elapsed
     result = {

@@ -187,6 +187,8 @@ def sim_step(
             tile_tables=map_data.tile_tables,
             tile_ngroups=map_data.tile_ngroups,
             tile_meta=map_data.tile_meta,
+                       tile_blockmap=map_data.tile_blockmap,
+                       tile_ext=map_data.tile_ext,
         )  # (A, B), (A,)
 
         # --- 6: agent-agent collisions at new poses (pre-TTC-zeroing)
@@ -253,6 +255,8 @@ def sim_step(
             tile_tables=map_data.tile_tables,
             tile_ngroups=map_data.tile_ngroups,
             tile_meta=map_data.tile_meta,
+                       tile_blockmap=map_data.tile_blockmap,
+                       tile_ext=map_data.tile_ext,
         )  # (A, B)
     elif engine == "segments":
         if map_data.segments is None:

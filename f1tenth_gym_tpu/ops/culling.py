@@ -47,34 +47,55 @@ _EPS = 1e-6
 
 
 class TileTables(NamedTuple):
-    """Packed multi-window segment tables for the Pallas kernel (v8).
+    """Packed multi-window segment tables for the Pallas kernel (v9).
 
-    Four window sizes in ONE array, all indexed by LOWER-LEFT tile
-    (i, j) = t: ``tables[t]`` is the 2x2-tile window union (covers scan
-    groups spanning <= 1 tile per axis starting at (i, j));
-    ``tables[n_tiles + t]`` the single-tile (1x1) set;
-    ``tables[2*n_tiles + t]`` the 4x4 window union (spread <= 3 tiles);
-    ``tables[3*n_tiles + t]`` the 8x8 union (spread <= 7). Each 8-scan
-    kernel SUBGROUP picks the tightest window covering it, else the full
-    set. Smaller windows are the point: visibility from a 2x2 window of
-    fine tiles is far thinner than from the 3x3 coarse neighborhood it
-    replaced in round 2. The wide 8x8 tier exists for MULTI-TRACK worlds:
-    at the default 2.5 m grid it spans ~20 m — about one whole track cell
-    — so a freshly-reset env that teleported to its start grid (or any
-    drifted subgroup) still sweeps one track's segments instead of the
-    whole world's (the full set is 10-20x wider there). The single array
-    lets every subgroup's scalar-prefetch block index address ANY tier
-    through one kernel input — adding a tier touches only the builder and
-    the host-side selection, never the kernel. The full fallback table is
-    still NOT stored here (the kernel carries it as its own input, so
-    multi-map worlds don't pad the windows to the full set's row count).
-    ngroups keeps the round-1 indexing convention: ngroups[0] is the FULL
-    set's group count, ngroups[1 + b] block b's. -1 = sentinel: that
-    window culled nothing, use the full table.
+    Four window TIERS — 2x2, 1x1, 4x4, 8x8 tiles, all indexed by
+    LOWER-LEFT tile — cover each 8-scan kernel subgroup with the tightest
+    window containing it (else the full set). The wide 8x8 tier exists
+    for MULTI-TRACK worlds: a freshly-reset env that teleported to its
+    start grid still sweeps one track's segments instead of the whole
+    world's.
+
+    v9 SPLIT LAYOUT (round 4): a window's table is no longer just the
+    UNION of its member tiles' visible sets. Where it pays, the block is
+    laid out as
+
+        [ common = INTERSECTION over member tiles | extras(tile 0) |
+          extras(tile 1) | ... ]          (each part padded to 8 rows)
+
+    and every SCAN sweeps ``common`` plus ONLY its own tile's extras
+    range — i.e. exactly its tile's 1x1 visible set — while the whole
+    subgroup still shares ONE block DMA. On the bench workload this cuts
+    the mean swept groups per scan from the subgroup-union 13.8 to ~10.3
+    (the occupancy-weighted 1x1 floor is 9.5). Windows whose split total
+    would exceed ``split_cap_groups`` keep the plain union layout
+    (extras counts 0). Blocks are DEDUPED by content: ``blockmap`` sends
+    window (tier, lower-left tile) -> block index (or -1 = use the full
+    table), so identical visible sets across adjacent tiles share
+    storage.
+
+    tables  (n_blocks, Kmax, 8) f32 kernel rows (deduped blocks)
+    ngroups (n_blocks + 1,) i32: [0] the FULL set's group count;
+            [1 + b] block b's group count — the COMMON part for split
+            blocks, the whole union for union-layout blocks (always >= 1:
+            empty sets keep one padding group).
+    blockmap (4 * n_tiles,) i32: window -> block, tiers stacked in the
+            v8 order [2x2 | 1x1 | 4x4 | 8x8]; -1 = full-table sentinel.
+    ext     (n_blocks, 64) i32: per (block, member-tile m) packed
+            ``start * 256 + count`` extras range in GROUP units from the
+            block start (m = (tj - tj_lo) * w + (ti - ti_lo), row-major
+            over the w x w window); 0 for union-layout blocks, for 1x1
+            blocks, and for members with no extras.
+
+    The full fallback table is NOT stored here (the kernel carries it as
+    its own input, so multi-map worlds don't pad the windows to the full
+    set's row count).
     """
 
-    tables: np.ndarray     # (4*n_tiles, Kmax_tile, 8) f32 kernel rows
-    ngroups: np.ndarray    # (4*n_tiles + 1,) i32 group counts (see above)
+    tables: np.ndarray     # (n_blocks, Kmax, 8) f32 kernel rows
+    ngroups: np.ndarray    # (n_blocks + 1,) i32 group counts (see above)
+    blockmap: np.ndarray   # (4*n_tiles,) i32 window -> block / -1
+    ext: np.ndarray        # (n_blocks, 64) i32 packed extras ranges
     x0: float              # grid origin (world frame)
     y0: float
     tile_size: float
@@ -250,6 +271,10 @@ def _window_union(v: np.ndarray, w: int) -> np.ndarray:
     return u
 
 
+def _pad_groups(n: int, GROUP: int) -> int:
+    return max(1, -(-n // GROUP)) * GROUP
+
+
 def build_tile_tables(
     segments: np.ndarray,
     max_range: float,
@@ -257,8 +282,9 @@ def build_tile_tables(
     neighborhood: int = 1,
     split_len: float = None,
     max_bytes: int = 1 << 30,
+    split_cap_groups: int = 0,
 ) -> TileTables:
-    """Build the packed multi-window kernel tables.
+    """Build the packed multi-window kernel tables (v9, see TileTables).
 
     segments: (K, 4) wall segments (padding rows with coords >= 1e6 are
     dropped, matching build_seg_table). split_len (optional) splits targets
@@ -267,21 +293,23 @@ def build_tile_tables(
     measured a net LOSS on the reference maps (visible walls inflate row
     counts more than occluded ones shrink), so default off.
 
-    Four window sizes per lower-left tile in one block-indexable array
-    (see TileTables): 1x1 (thinnest, scan subgroups inside one tile), 2x2
-    (subgroups spanning <= 1 tile per axis — covers every single-boundary
-    straddle, unlike a center-indexed 3x3 at 2.25x the area), 4x4
-    (drifted subgroups), and 8x8 (teleported/reset subgroups on
-    multi-track worlds). The full set is NOT stored here — the kernel
-    keeps it as its own resident input (pallas_scan segf_ref), so
-    multi-map worlds don't pad the windows to the full set's row count.
-    ngroups[0] is the full set's group count; a window whose culled set is
-    no smaller than the full set stores the sentinel -1 and is served the
-    full table. Grows tile_size if the packed tables would exceed
-    max_bytes.
+    Per window the builder chooses between the v9 SPLIT layout
+    (common-intersection + per-member-tile extras: every scan sweeps
+    exactly its own tile's visible set) and the plain union layout —
+    split wherever its total rows fit ``split_cap_groups`` groups (the
+    split total exceeds the union by the duplication of segments shared
+    by some-but-not-all member tiles, so wide windows on open maps fall
+    back to the union). Blocks are deduped by content; ``blockmap``
+    carries the window -> block indirection. Grows tile_size if the
+    deduped pack would exceed max_bytes.
 
-    neighborhood is kept in the meta for compatibility; coverage is now
-    fixed by the window sizes (max covered spread: 3 tiles).
+    split_cap_groups DEFAULTS TO 0 (never split): the per-scan extras
+    sweep measured a net LOSS on v5e — each tiny dynamic fori loop costs
+    ~350 cycles of pipeline disruption, 8 loops/program eat the ~25%
+    sweep saving whole (8.07/7.18 ms vs 5.54 ms union-only at 8192
+    scans, round 4). The layout + kernel support stay for
+    re-evaluation on future hardware/toolchains; the union-only v9 still
+    improves on v8 by content-deduping blocks (43 MB -> ~10 MB packs).
     """
     from f1tenth_gym_tpu.ops.pallas_scan import GROUP, build_seg_table
 
@@ -294,75 +322,129 @@ def build_tile_tables(
     bbox = (xs.min() - 1e-6, ys.min() - 1e-6, xs.max() + 1e-6, ys.max() + 1e-6)
 
     full = build_seg_table(orig)  # (Kfull_pad, 8)
+    full_rows = len(full)
+
     while True:
         vis, nx, ny, x0, y0 = tile_visibility(segs, max_range, tile_size,
                                               bbox, occluders=orig)
+        T = nx * ny
         v = vis.reshape(ny, nx, -1)
-        u2 = _window_union(v, 2)
-        u4 = _window_union(v, 4)
-        u8 = _window_union(v, 8)
-        cap = len(full)
-        kmax = int(min(max(u2.sum(-1).max(), v.sum(-1).max(),
-                           u4.sum(-1).max(), u8.sum(-1).max()), cap))
-        kmax_pad = max(GROUP, ((kmax + GROUP - 1) // GROUP) * GROUP)
-        if 4 * kmax_pad * nx * ny * 32 <= max_bytes:
+
+        # --- plan every window as index sets (cheap), dedupe by content,
+        # and only then materialize unique blocks
+        plans = {}          # content key -> (block_idx, layout tuple)
+        blockmap = np.full(4 * T, -1, np.int32)
+        order = []          # unique layouts in first-seen order
+
+        def plan_window(tier_slot, t, members):
+            """members: list of (m_index, (K,) bool mask) for in-grid tiles
+            of the w x w window at lower-left tile t."""
+            union = np.zeros(v.shape[-1], bool)
+            for _, mk in members:
+                union |= mk
+            u_idx = np.flatnonzero(union)
+            union_rows = _pad_groups(len(u_idx), GROUP)
+            common = union.copy()
+            for _, mk in members:
+                common &= mk
+            c_idx = np.flatnonzero(common)
+            ex = [(m, np.flatnonzero(mk & ~common)) for m, mk in members]
+            split_rows = _pad_groups(len(c_idx), GROUP) + sum(
+                _pad_groups(len(e), GROUP) if len(e) else 0 for _, e in ex)
+            # split whenever it fits the cap: the objective is the PER-SCAN
+            # sweep (common + own extras = exactly the scan's tile set),
+            # not block size — a split block bigger than the full table
+            # still sweeps far fewer groups per scan
+            use_split = (split_rows <= split_cap_groups * GROUP
+                         and any(len(e) for _, e in ex))
+            if not use_split and union_rows >= full_rows:
+                return          # culling bought nothing: full-table sentinel
+            if use_split:
+                key = (b"s", c_idx.tobytes(),
+                       tuple((m, e.tobytes()) for m, e in ex))
+                layout = ("split", c_idx, ex)
+            else:
+                key = (b"u", u_idx.tobytes())
+                layout = ("union", u_idx, [])
+            got = plans.get(key)
+            if got is None:
+                got = len(order)
+                plans[key] = got
+                order.append(layout)
+            blockmap[tier_slot * T + t] = got
+
+        valid = np.zeros((ny + 8, nx + 8), bool)
+        valid[:ny, :nx] = True
+        vp = np.zeros((ny + 8, nx + 8, v.shape[-1]), bool)
+        vp[:ny, :nx] = v
+        for tier_slot, w in ((0, 2), (1, 1), (2, 4), (3, 8)):
+            for j in range(ny):
+                for i in range(nx):
+                    members = []
+                    for dj in range(w):
+                        for di in range(w):
+                            if valid[j + dj, i + di]:
+                                members.append((dj * w + di,
+                                                vp[j + dj, i + di]))
+                    plan_window(tier_slot, j * nx + i, members)
+
+        # block sizes -> Kmax; bytes check with the DEDUPED block count
+        def block_rows(layout):
+            kind, c_idx, ex = layout
+            if kind == "union":
+                return _pad_groups(len(c_idx), GROUP)
+            return _pad_groups(len(c_idx), GROUP) + sum(
+                _pad_groups(len(e), GROUP) if len(e) else 0 for _, e in ex)
+
+        kmax_pad = max([GROUP] + [block_rows(pl) for pl in order])
+        if len(order) * kmax_pad * 32 <= max_bytes:
             break
         tile_size *= 1.5  # coarser grid: fewer tables, bigger each
 
-    T = nx * ny
-    tables = np.zeros((4 * T, kmax_pad, 8), np.float32)
+    n_blocks = max(1, len(order))
+    tables = np.zeros((n_blocks, kmax_pad, 8), np.float32)
     # empty-group padding rows: never-valid (see build_seg_table)
     tables[:, :, 2] = 1.0
     tables[:, :, 5] = 10.0
-    ngroups = np.zeros(4 * T + 1, np.int32)
-    ngroups[0] = len(full) // GROUP
-    flat2 = u2.reshape(T, -1)
-    flat1 = vis
-    flat4 = u4.reshape(T, -1)
-    flat8 = u8.reshape(T, -1)
+    ngroups = np.zeros(n_blocks + 1, np.int32)
+    ngroups[0] = full_rows // GROUP
+    ngroups[1:] = 1                   # empty blocks keep one padding group
+    ext = np.zeros((n_blocks, 64), np.int32)
 
-    # adjacent tiles (and a tile vs its windows) frequently share the exact
-    # same visible set on corridor maps — build each UNIQUE set once
-    # (5-10x fewer build_seg_table calls; makes fine grids on multi-track
-    # worlds build in seconds instead of minutes)
     built = {}
 
-    def pack(flat_t, arr, out, t):
-        sel_idx = np.flatnonzero(flat_t)
-        if len(sel_idx) == 0:
-            # a window with nothing visible (deep inside a wall): keep one
-            # padding group so the kernel loop body stays non-degenerate
-            out[t] = 1
-            return
-        key = sel_idx.tobytes()
+    def seg_rows(idx):
+        if len(idx) == 0:
+            return None
+        key = idx.tobytes()
         tab = built.get(key)
         if tab is None:
-            tab = build_seg_table(segs[sel_idx])
+            tab = build_seg_table(segs[idx])
             built[key] = tab
-        if len(tab) >= len(full):
-            # culling bought nothing here — the kernel serves the full
-            # table for this window (sentinel; no redundant copy stored)
-            out[t] = -1
-            return
-        arr[t, : len(tab)] = tab
-        out[t] = len(tab) // GROUP
+        return tab
 
-    ng1 = np.zeros(T, np.int32)
-    ng2 = np.zeros(T, np.int32)
-    ng4 = np.zeros(T, np.int32)
-    ng8 = np.zeros(T, np.int32)
-    for t in range(T):
-        pack(flat2[t], tables[:T], ng2, t)
-        pack(flat1[t], tables[T:2 * T], ng1, t)
-        pack(flat4[t], tables[2 * T:3 * T], ng4, t)
-        pack(flat8[t], tables[3 * T:], ng8, t)
-    ngroups[1:1 + T] = ng2
-    ngroups[1 + T:1 + 2 * T] = ng1
-    ngroups[1 + 2 * T:1 + 3 * T] = ng4
-    ngroups[1 + 3 * T:] = ng8
+    for b, (kind, c_idx, ex) in enumerate(order):
+        ctab = seg_rows(c_idx)
+        pos = 0
+        if ctab is not None:
+            tables[b, :len(ctab)] = ctab
+            pos = len(ctab)
+        ngroups[1 + b] = max(1, pos // GROUP)
+        pos = max(GROUP, pos)         # empty common still owns 1 pad group
+        if kind == "split":
+            for m, e_idx in ex:
+                etab = seg_rows(e_idx)
+                if etab is None:
+                    continue          # no extras for this member: cnt 0
+                tables[b, pos:pos + len(etab)] = etab
+                ext[b, m] = (pos // GROUP) * 256 + len(etab) // GROUP
+                pos += len(etab)
+
     return TileTables(
         tables=tables,
         ngroups=ngroups,
+        blockmap=blockmap,
+        ext=ext,
         x0=x0,
         y0=y0,
         tile_size=float(tile_size),
@@ -378,6 +460,7 @@ def build_tile_tables_cached(
     tile_size: float = 2.5,
     neighborhood: int = 1,
     cache_dir: Optional[str] = None,
+    split_cap_groups: int = 0,
 ) -> TileTables:
     """build_tile_tables with an npz disk cache.
 
@@ -387,9 +470,10 @@ def build_tile_tables_cached(
     Set cache_dir=None for $F1TENTH_TPU_CACHE or ~/.cache/f1tenth_gym_tpu.
     """
     segs = np.ascontiguousarray(np.asarray(segments, np.float64))
-    h = hashlib.sha1(b"tile-tables-v8.1")  # bump on algorithm changes
+    h = hashlib.sha1(b"tile-tables-v9")  # bump on algorithm changes
     h.update(segs.tobytes())
-    h.update(np.float64([max_range, tile_size, neighborhood]).tobytes())
+    h.update(np.float64([max_range, tile_size, neighborhood,
+                         split_cap_groups]).tobytes())
     key = h.hexdigest()[:16]
     cache_dir = cache_dir or os.environ.get(
         "F1TENTH_TPU_CACHE",
@@ -399,16 +483,19 @@ def build_tile_tables_cached(
     if os.path.exists(path):
         z = np.load(path)
         return TileTables(
-            tables=z["tables"], ngroups=z["ngroups"], x0=float(z["x0"]),
+            tables=z["tables"], ngroups=z["ngroups"],
+            blockmap=z["blockmap"], ext=z["ext"], x0=float(z["x0"]),
             y0=float(z["y0"]), tile_size=float(z["tile_size"]),
             nx=int(z["nx"]), ny=int(z["ny"]),
             neighborhood=int(z["neighborhood"]),
         )
     tt = build_tile_tables(segs, max_range, tile_size=tile_size,
-                           neighborhood=neighborhood)
+                           neighborhood=neighborhood,
+                           split_cap_groups=split_cap_groups)
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + f".tmp{os.getpid()}.npz"  # np.savez appends .npz itself
-    np.savez(tmp[:-4], tables=tt.tables, ngroups=tt.ngroups, x0=tt.x0,
+    np.savez(tmp[:-4], tables=tt.tables, ngroups=tt.ngroups,
+             blockmap=tt.blockmap, ext=tt.ext, x0=tt.x0,
              y0=tt.y0, tile_size=tt.tile_size, nx=tt.nx, ny=tt.ny,
              neighborhood=tt.neighborhood)
     os.replace(tmp, path)

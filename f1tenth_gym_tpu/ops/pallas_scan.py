@@ -61,6 +61,30 @@ the vector register budget, Mosaic spills the carries through memory
 every fori iteration, which costs far more than the acc load+store pair
 it was meant to remove. The acc-scratch structure below stands.
 
+PER-SCAN-tight culling (round 4): the subgroup-union sweep (mean 13.8
+groups/scan) leaves ~30% on the table vs each scan's own tile set
+(occupancy-weighted 9.5 at ts=1.25) — every mechanism tried to claim it
+measured a net LOSS, because anything per-scan forfeits either the
+8-scan splat amortization or Mosaic's loop pipelining:
+(d) v9 SPLIT window blocks ([common-intersection | per-member-tile
+extras], each scan sweeping common + its own extras range via a per-scan
+dynamic fori) — exact (checksum-identical), 8.07 ms vs 5.54 ms at 8192
+scans: a tiny dynamic fori costs ~350 cycles of pipeline disruption
+EACH, x8 per program; even at trip 0 the traced loops cost ~0.5 ms/call
+(hence ops/culling.py split_cap_groups defaults to 0 and the kernel only
+traces the extras path when the pack has split blocks);
+(e) CHUNKED per-tile solo engine (snake-ordered per-tile blocks stored
+twice at half-chunk stride, one chunk DMA per subgroup, each scan solo-
+sweeping its own block with clamped re-max instead of predication) —
+exact, but 81.6% of racing subgroups straddle a TILE ROW (agent pairs
+cross tj boundaries), their blocks sit a whole snake row apart, and no
+1D pack order fixes 2D straddle: 10.0 ms vs 5.54 ms with the fallbacks.
+Per-scan selection DMAs were also measured directly: SUB=1 (one
+prefetch-indexed block per scan) costs ~1.5 us of unhidden DMA issue
+per extra stream — 16.2 ms vs 5.54 ms at 8 streams/program. The
+windowed subgroup-union design stands on all sides of the triangle
+(DMA count, splat amortization, loop pipelining).
+
 Measured cost structure at K=218 (v5e, 8192 scans): group loop ~300 us per
 8-segment group, already at ~3.9/4 VPU issue slots per cycle — the loop is
 ISSUE-BOUND, not schedulable faster at this op count; fixed ~2.5 ms
@@ -139,27 +163,33 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def _scan_kernel(R, theta_dis, num_beams, phases, fuse, bid_ref, ng_ref,
-                 orig_ref, nb_ref, segf_ref, *rest):
+def _scan_kernel(R, theta_dis, num_beams, phases, fuse, has_extras,
+                 bid_ref, ng_ref, orig_ref, nb_ref, segf_ref, *rest):
     """One program: EA scans of R*128 beams, each SUB-scan subgroup
     sweeping its own culled segment table.
 
     bid_ref (n_prog * S,) i32 SMEM (scalar-prefetch), S = EA // SUB
     subgroups per program: per-SUBGROUP table choice — bid > 0 sweeps
-    window table bid-1 of the merged 2x2/1x1/4x4/8x8 pack (ops/culling.py
-    v8) via that subgroup's prefetch-indexed block (the same tile array
-    is passed S times, once per subgroup input, so each subgroup DMAs its
-    own block); bid == 0 sweeps the FULL fallback table segf_ref (its own
-    resident input — multi-map worlds don't pad the window tables to the
-    full set's row count). Per-subgroup selection is the round-3 key: it
+    block bid-1 of the deduped v9 window pack (ops/culling.py) via that
+    subgroup's prefetch-indexed block (the same tile array is passed S
+    times, once per subgroup input, so each subgroup DMAs its own block);
+    bid == 0 sweeps the FULL fallback table segf_ref (its own resident
+    input — multi-map worlds don't pad the window tables to the full
+    set's row count). Per-subgroup selection is the round-3 key: it
     gives the culled-window tightness of small programs AND the
     per-program grid-overhead amortization of large ones (~4.8 us per
     program, 73% of kernel time when EA was dropped to 8).
-    ng_ref (n_prog * S,) i32 SMEM: per-subgroup segment-group count
-    (dynamic fori_loop trip count — culled tables sweep only their own
-    groups).
-    orig_ref (1,EA,8) f32 SMEM rows
-    [ox, oy, ti0, angle_inc_bins, cos(ti0*binrad), sin(ti0*binrad), 0, 0];
+    ng_ref (n_prog * S,) i32 SMEM: per-subgroup SHARED segment-group
+    count (dynamic fori_loop trip count) — the common part of a v9 split
+    block, the whole table otherwise. On split blocks each scan then
+    sweeps its OWN extras range [est, est + ecnt) of the same block
+    (scalars slots 8/9 below): the subgroup shares one block DMA while
+    every scan sweeps exactly its own tile's visible set (round 4;
+    mean swept groups/scan 13.8 -> ~10.3 on the bench workload).
+    orig_ref (1,EA,16) f32 SMEM rows
+    [ox, oy, ti0, angle_inc_bins, cos(ti0*binrad), sin(ti0*binrad),
+     max_range, vel (fused iTTC only), extras_start_groups,
+     extras_ngroups, 0 x 6];
     nb_ref (RG*2*8, 128) f32 VMEM: the scan-independent beam-fan tables
     cos(n*beta) / sin(n*beta) for beam index n (beta = angle increment in
     radians), one cos + one sin (8,128) tile per rowgroup;
@@ -246,35 +276,50 @@ def _scan_kernel(R, theta_dis, num_beams, phases, fuse, bid_ref, ng_ref,
         tx = jnp.broadcast_to(tb[:, 3:4], (GROUP, LANES))
         ty = jnp.broadcast_to(tb[:, 4:5], (GROUP, LANES))
         for ea in range(ea0, ea0 + SUB):
-            ox = orig_ref[0, ea, 0]
-            oy = orig_ref[0, ea, 1]
-            num8 = tb[:, 2:3] - ox * tb[:, 0:1] - oy * tb[:, 1:2]
-            # guard the splat divide: |num| < 1e-12 m means the scan origin
-            # sits ON the wall line — sub-picometer, never physical
-            # (folding inv into nx/ny splats instead measured 33% SLOWER:
-            # one extra lane-broadcast per (ea,group) beats the saved mul)
-            num8 = jnp.where(jnp.abs(num8) < 1e-12, jnp.float32(1e-12), num8)
-            inv8 = jnp.float32(1.0) / num8
-            uo8 = ox * tb[:, 3:4] + oy * tb[:, 4:5] + tb[:, 5:6]
-            inv = jnp.broadcast_to(inv8, (GROUP, LANES))
-            uo = jnp.broadcast_to(uo8, (GROUP, LANES))
-            for r in range(R):
-                rg, dr = divmod(r, GROUP)
-                d0 = (ea * RG + rg) * 2 * GROUP + dr
-                dx = dirb[d0:d0 + 1, :]                      # (1,128)
-                dy = dirb[d0 + GROUP:d0 + GROUP + 1, :]
-                den = nx * dx + ny * dy       # (8,128)*(1,128): sublane bcast
-                s = den * inv
-                ud = tx * dx + ty * dy
-                b = uo * s + ud
-                q = jnp.minimum(b, s - b)
-                sc = jnp.where(q >= zero, s, zero)
-                a0 = (ea * R + r) * GROUP
-                if first:
-                    acc[a0:a0 + GROUP, :] = sc
-                else:
-                    acc[a0:a0 + GROUP, :] = jnp.maximum(
-                        acc[a0:a0 + GROUP, :], sc)
+            process_ea(tb, nx, ny, tx, ty, ea, first)
+
+    def process_ea(tb, nx, ny, tx, ty, ea, first):
+        ox = orig_ref[0, ea, 0]
+        oy = orig_ref[0, ea, 1]
+        num8 = tb[:, 2:3] - ox * tb[:, 0:1] - oy * tb[:, 1:2]
+        # guard the splat divide: |num| < 1e-12 m means the scan origin
+        # sits ON the wall line — sub-picometer, never physical
+        # (folding inv into nx/ny splats instead measured 33% SLOWER:
+        # one extra lane-broadcast per (ea,group) beats the saved mul)
+        num8 = jnp.where(jnp.abs(num8) < 1e-12, jnp.float32(1e-12), num8)
+        inv8 = jnp.float32(1.0) / num8
+        uo8 = ox * tb[:, 3:4] + oy * tb[:, 4:5] + tb[:, 5:6]
+        inv = jnp.broadcast_to(inv8, (GROUP, LANES))
+        uo = jnp.broadcast_to(uo8, (GROUP, LANES))
+        for r in range(R):
+            rg, dr = divmod(r, GROUP)
+            d0 = (ea * RG + rg) * 2 * GROUP + dr
+            dx = dirb[d0:d0 + 1, :]                      # (1,128)
+            dy = dirb[d0 + GROUP:d0 + GROUP + 1, :]
+            den = nx * dx + ny * dy       # (8,128)*(1,128): sublane bcast
+            s = den * inv
+            ud = tx * dx + ty * dy
+            b = uo * s + ud
+            q = jnp.minimum(b, s - b)
+            sc = jnp.where(q >= zero, s, zero)
+            a0 = (ea * R + r) * GROUP
+            if first:
+                acc[a0:a0 + GROUP, :] = sc
+            else:
+                acc[a0:a0 + GROUP, :] = jnp.maximum(
+                    acc[a0:a0 + GROUP, :], sc)
+
+    def process_one(seg_ref, ea, g):
+        # single-scan group sweep for the v9 per-scan extras ranges: same
+        # math as process_group, splats amortized over the 9 beam rows of
+        # ONE scan only (extras are ~2-4 groups/scan; the common part
+        # keeps the 8-scan amortization)
+        tb = seg_ref[0, pl.ds(g * GROUP, GROUP), :]          # (8,8)
+        nx = jnp.broadcast_to(tb[:, 0:1], (GROUP, LANES))
+        ny = jnp.broadcast_to(tb[:, 1:2], (GROUP, LANES))
+        tx = jnp.broadcast_to(tb[:, 3:4], (GROUP, LANES))
+        ty = jnp.broadcast_to(tb[:, 4:5], (GROUP, LANES))
+        process_ea(tb, nx, ny, tx, ty, ea, False)
 
     # (software-pipelining dirs_for(ea+1) through the peeled group-0 sweep
     # was measured SLOWER — 2.46 vs 2.09 ms at ng=1 — the scheduler gains
@@ -301,12 +346,31 @@ def _scan_kernel(R, theta_dis, num_beams, phases, fuse, bid_ref, ng_ref,
             ea0 = s * SUB
 
             def sweep(seg_ref, _ea0=ea0, _ng=ng):
+                # shared part: the block's common groups, splats amortized
+                # over all SUB scans (>= 1 group always — the builder keeps
+                # a padding group even for empty sets, so the peeled
+                # store-init covers every scan's acc)
                 process_group(seg_ref, _ea0, 0, True)
                 jax.lax.fori_loop(
                     1, _ng,
                     lambda g, _: (process_group(seg_ref, _ea0, g, False),
                                   0)[1],
                     0)
+                # v9 per-scan extras: each scan sweeps its own tile's
+                # extras range of the SAME resident block (zero extra DMA;
+                # est/ecnt are 0 on union blocks and the full fallback).
+                # Only traced when the pack HAS split blocks: even trip-0
+                # dynamic fori loops measured ~0.5 ms/call of pipeline
+                # disruption at 8 loops/program (round 4)
+                if has_extras:
+                    for ea in range(_ea0, _ea0 + SUB):
+                        est = orig_ref[0, ea, 8].astype(jnp.int32)
+                        ecnt = orig_ref[0, ea, 9].astype(jnp.int32)
+                        jax.lax.fori_loop(
+                            0, ecnt,
+                            lambda g, _, _ea=ea, _est=est: (
+                                process_one(seg_ref, _ea, _est + g), 0)[1],
+                            0)
 
             @pl.when(bid == 0)
             def _(_sweep=sweep):
@@ -387,45 +451,65 @@ def _scan_kernel(R, theta_dis, num_beams, phases, fuse, bid_ref, ng_ref,
                     pend = []
 
 
-def select_windows(tig, tjg, tile_ngroups, T, nx, ny, full_ng):
+def select_windows(tig, tjg, blockmap, tile_ngroups, tile_ext,
+                   nx, ny, full_ng):
     """Per-subgroup culled-window choice: the ONE definition of the
     selection cascade, shared by scan_pallas and tools/culling_stats.py.
 
     tig/tjg: (nsub, SUB) tile indices of each subgroup's scans. Picks the
-    tightest v8 window table (ops/culling.py pack) indexed by the
+    tightest v9 window tier (ops/culling.py pack) indexed by the
     subgroup's LOWER-LEFT tile: 1x1 when all its scans share a tile, 2x2
     when they span <= 1 tile per axis, 4x4 for spread <= 3, 8x8 for
-    spread <= 7, else the full set (also on sentinel -1 = that window's
-    table would be no smaller than the full set). Returns (bid, ng):
-    bid 0 = full-table fallback, else 1 + merged-pack block index.
+    spread <= 7, else the full set (also on blockmap sentinel -1 = that
+    window's table would be no smaller than the full set).
+
+    Returns (bid, ng, est, ecnt):
+      bid  (nsub,)      0 = full-table fallback, else 1 + block index
+      ng   (nsub,)      the block's SHARED group count (common part of a
+                        split block, whole union otherwise)
+      est  (nsub, SUB)  per-SCAN extras start (group units into the block)
+      ecnt (nsub, SUB)  per-SCAN extras group count (0 on union blocks,
+                        the full fallback, and members with no extras)
     Pure jnp; works on numpy inputs too.
     """
+    T = blockmap.shape[0] // 4
     ti_lo, ti_hi = tig.min(-1), tig.max(-1)
     tj_lo, tj_hi = tjg.min(-1), tjg.max(-1)
     in_grid = (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
     sx = ti_hi - ti_lo
     sy = tj_hi - tj_lo
     tidx = jnp.clip(tj_lo * nx + ti_lo, 0, T - 1)
-    ng_w2 = tile_ngroups[1 + tidx].astype(jnp.int32)
-    ng_w1 = tile_ngroups[1 + T + tidx].astype(jnp.int32)
-    ng_w4 = tile_ngroups[1 + 2 * T + tidx].astype(jnp.int32)
-    ng_w8 = tile_ngroups[1 + 3 * T + tidx].astype(jnp.int32)
-    use1 = in_grid & (sx == 0) & (sy == 0) & (ng_w1 > 0)
-    use2 = in_grid & (sx <= 1) & (sy <= 1) & (ng_w2 > 0) & ~use1
-    use4 = (in_grid & (sx <= 3) & (sy <= 3) & (ng_w4 > 0)
+    blk2 = blockmap[tidx].astype(jnp.int32)
+    blk1 = blockmap[T + tidx].astype(jnp.int32)
+    blk4 = blockmap[2 * T + tidx].astype(jnp.int32)
+    blk8 = blockmap[3 * T + tidx].astype(jnp.int32)
+    use1 = in_grid & (sx == 0) & (sy == 0) & (blk1 >= 0)
+    use2 = in_grid & (sx <= 1) & (sy <= 1) & (blk2 >= 0) & ~use1
+    use4 = (in_grid & (sx <= 3) & (sy <= 3) & (blk4 >= 0)
             & ~use1 & ~use2)
-    use8 = (in_grid & (sx <= 7) & (sy <= 7) & (ng_w8 > 0)
+    use8 = (in_grid & (sx <= 7) & (sy <= 7) & (blk8 >= 0)
             & ~use1 & ~use2 & ~use4)
-    bid = jnp.where(use1, 1 + T + tidx,
-                    jnp.where(use2, 1 + tidx,
-                              jnp.where(use4, 1 + 2 * T + tidx,
-                                        jnp.where(use8, 1 + 3 * T + tidx,
-                                                  0))))
-    ng = jnp.where(use1, ng_w1,
-                   jnp.where(use2, ng_w2,
-                             jnp.where(use4, ng_w4,
-                                       jnp.where(use8, ng_w8, full_ng))))
-    return bid, ng
+    blk = jnp.where(use1, blk1,
+                    jnp.where(use2, blk2,
+                              jnp.where(use4, blk4,
+                                        jnp.where(use8, blk8, -1))))
+    bid = jnp.where(blk >= 0, 1 + blk, 0)
+    blk_c = jnp.maximum(blk, 0)
+    ng = jnp.where(blk >= 0, tile_ngroups[1 + blk_c].astype(jnp.int32),
+                   full_ng)
+    # per-SCAN member index within the selected window tier
+    w = jnp.where(use1, 1, jnp.where(use2, 2, jnp.where(use4, 4, 8)))
+    m = ((tjg - tj_lo[:, None]) * w[:, None]
+         + (tig - ti_lo[:, None]))
+    m = jnp.clip(m, 0, 63)
+    if tile_ext is None:     # pack has no split blocks: extras all empty
+        est = ecnt = jnp.zeros(tig.shape, jnp.int32)
+    else:
+        packed = tile_ext[blk_c[:, None], m].astype(jnp.int32)
+        packed = jnp.where(blk[:, None] >= 0, packed, 0)
+        est = packed // 256
+        ecnt = packed % 256
+    return bid, ng, est, ecnt
 
 
 @functools.partial(
@@ -440,9 +524,11 @@ def scan_pallas(
     theta_dis: int,
     interpret: bool = False,
     phases: str = "dirs,sweep,out",  # debug-only phase mask (see kernel)
-    tile_tables: jnp.ndarray = None,   # (4*n_tiles, Kmax, 8) v8 pack
-    tile_ngroups: jnp.ndarray = None,  # (4*n_tiles + 1,) i32, [0]=full
+    tile_tables: jnp.ndarray = None,   # (n_blocks, Kmax, 8) v9 pack
+    tile_ngroups: jnp.ndarray = None,  # (n_blocks + 1,) i32, [0]=full
     tile_meta: jnp.ndarray = None,     # (6,) [x0, y0, 1/ts, nx, ny, spread]
+    tile_blockmap: jnp.ndarray = None,  # (4*n_tiles,) i32 window -> block
+    tile_ext: jnp.ndarray = None,      # (n_blocks, 64) i32 extras ranges
     fuse: bool = False,                # fused noise + iTTC epilogue
     noise: jnp.ndarray = None,         # (..., num_beams) additive noise
     vel: jnp.ndarray = None,           # (...,) longitudinal velocity
@@ -462,13 +548,15 @@ def scan_pallas(
     bit-identical on the scan values.
 
     With the merged multi-window tables built by
-    ops.culling.build_tile_tables (format v8: 2x2 / 1x1 / 4x4 / 8x8
-    window blocks in one array, indexed by lower-left tile), each
-    SUB=8-scan SUBGROUP of a program sweeps only the segments provably
-    visible from the TIGHTEST window covering it — 1x1 when its scans
-    share a tile, else 2x2 when they span <= 1 tile per axis, else 4x4,
-    else 8x8, else the full table — exact in every case. Locality-sort
-    the env batch
+    ops.culling.build_tile_tables (format v9: deduped 2x2 / 1x1 / 4x4 /
+    8x8 window blocks addressed through tile_blockmap), each SUB=8-scan
+    SUBGROUP of a program sweeps only the segments provably visible from
+    the TIGHTEST window covering it — 1x1 when its scans share a tile,
+    else 2x2 when they span <= 1 tile per axis, else 4x4, else 8x8, else
+    the full table — exact in every case. On SPLIT blocks the subgroup
+    sweep covers only the window's COMMON part and each scan then sweeps
+    its own tile's extras range, i.e. exactly its tile's visible set
+    (see ops/culling.py TileTables). Locality-sort the env batch
     (parallel.vector.sort_envs_for_locality with the map's tile grid) to
     keep subgroups tile-pure.
     """
@@ -506,9 +594,6 @@ def scan_pallas(
         slot7 = vflat
     else:
         slot7 = zeros
-    scalars = jnp.stack(
-        [p[:, 0], p[:, 1], ti0, inc, jnp.cos(alpha), jnp.sin(alpha),
-         maxr, slot7], axis=-1)  # (n_pad, 8)
 
     # scan-independent beam-fan tables cos(n*beta)/sin(n*beta), one cos +
     # one sin (8,128) tile per rowgroup (n = beam index)
@@ -534,16 +619,30 @@ def scan_pallas(
                          ).at[:, :, 2].set(1.0).at[:, :, 5].set(10.0)
         bid = jnp.zeros((nsub,), jnp.int32)
         ng = jnp.full((nsub,), Kf // GROUP, jnp.int32)
+        est = ecnt = jnp.zeros((n_pad,), jnp.float32)
     else:
+        if tile_blockmap is None:
+            raise ValueError(
+                "v9 tile tables need tile_blockmap alongside tile_tables/"
+                "tile_ngroups/tile_meta (rebuild the map cache with "
+                "ops.culling.build_tile_tables)")
         tabs = tile_tables
         x0, y0, inv_ts = tile_meta[0], tile_meta[1], tile_meta[2]
         nx = tile_meta[3].astype(jnp.int32)
         ny = tile_meta[4].astype(jnp.int32)
         ti = jnp.floor((p[:, 0] - x0) * inv_ts).astype(jnp.int32)
         tj = jnp.floor((p[:, 1] - y0) * inv_ts).astype(jnp.int32)
-        bid, ng = select_windows(
-            ti.reshape(nsub, SUB), tj.reshape(nsub, SUB), tile_ngroups,
-            tile_tables.shape[0] // 4, nx, ny, Kf // GROUP)
+        bid, ng, est, ecnt = select_windows(
+            ti.reshape(nsub, SUB), tj.reshape(nsub, SUB), tile_blockmap,
+            tile_ngroups, tile_ext, nx, ny, Kf // GROUP)
+        est = est.reshape(-1).astype(jnp.float32)
+        ecnt = ecnt.reshape(-1).astype(jnp.float32)
+    has_extras = tile_ext is not None
+
+    scalars = jnp.stack(
+        [p[:, 0], p[:, 1], ti0, inc, jnp.cos(alpha), jnp.sin(alpha),
+         maxr, slot7, est, ecnt, zeros, zeros, zeros, zeros, zeros, zeros],
+        axis=-1)  # (n_pad, 16)
 
     Kt = tabs.shape[1]
     assert EA % SUB == 0, f"EA={EA} must be a multiple of SUB={SUB}"
@@ -551,7 +650,7 @@ def scan_pallas(
         assert phases == "dirs,sweep,out", "fuse needs the full kernel"
         assert EA % GROUP == 0, "fused out2 flush needs EA % 8 == 0"
     kern = functools.partial(_scan_kernel, R, theta_dis, num_beams,
-                             tuple(phases.split(",")), fuse)
+                             tuple(phases.split(",")), fuse, has_extras)
 
     # one BlockSpec per SUB-scan subgroup, all slicing the SAME merged
     # window array: subgroup s of program g DMAs block bid[g*S+s]-1
@@ -562,12 +661,12 @@ def scan_pallas(
         for s in range(S)
     ]
     in_specs = [
-        pl.BlockSpec((1, EA, 8), lambda g, b, m: (g, 0, 0),
+        pl.BlockSpec((1, EA, 16), lambda g, b, m: (g, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((RG * 2 * GROUP, LANES), lambda g, b, m: (0, 0)),
         pl.BlockSpec((1, Kf, 8), lambda g, b, m: (0, 0, 0)),
     ] + sub_specs
-    operands = [scalars.reshape(n_prog, EA, 8), nb, full] + [tabs] * S
+    operands = [scalars.reshape(n_prog, EA, 16), nb, full] + [tabs] * S
     if fuse:
         # noise rows aligned with the out layout (one (EA*R, 128) block
         # per program) + the per-beam iTTC constant rows (resident)
@@ -632,7 +731,8 @@ def scan_pallas(
 
 def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
                           interpret=False, tile_tables=None,
-                          tile_ngroups=None, tile_meta=None):
+                          tile_ngroups=None, tile_meta=None,
+                          tile_blockmap=None, tile_ext=None):
     """scan_pallas that collapses under jax.vmap into ONE pallas call.
 
     jax's default pallas batching rule adds a grid dimension per vmap level,
@@ -645,7 +745,8 @@ def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
     def fn(p):
         return scan_pallas(p, seg_table, tables, num_beams, theta_dis,
                            interpret=interpret, tile_tables=tile_tables,
-                           tile_ngroups=tile_ngroups, tile_meta=tile_meta)
+                           tile_ngroups=tile_ngroups, tile_meta=tile_meta,
+                           tile_blockmap=tile_blockmap, tile_ext=tile_ext)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, p):  # noqa: ANN001
@@ -657,7 +758,8 @@ def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
 def scan_pallas_fused_vmappable(pose, noise, vel, seg_table, tables,
                                 num_beams, theta_dis, interpret=False,
                                 tile_tables=None, tile_ngroups=None,
-                                tile_meta=None):
+                                tile_meta=None, tile_blockmap=None,
+                                tile_ext=None):
     """Fused (scan + noise + iTTC) scan_pallas under jax.vmap.
 
     Same batch-collapsing custom_vmap trick as scan_pallas_vmappable;
@@ -669,6 +771,7 @@ def scan_pallas_fused_vmappable(pose, noise, vel, seg_table, tables,
         return scan_pallas(p, seg_table, tables, num_beams, theta_dis,
                            interpret=interpret, tile_tables=tile_tables,
                            tile_ngroups=tile_ngroups, tile_meta=tile_meta,
+                           tile_blockmap=tile_blockmap, tile_ext=tile_ext,
                            fuse=True, noise=nz, vel=v)
 
     @fn.def_vmap
@@ -957,4 +1060,5 @@ def overlay_opponents_vmappable(scans, pose, opp_vertices, tables,
         return fn(sc, p, ov), True
 
     return fn(scans, pose, opp_vertices)
+
 

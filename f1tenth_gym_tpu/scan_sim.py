@@ -124,7 +124,9 @@ class ScanSimulator2D:
                 self.theta_dis,
                 interpret=(jax.default_backend() != "tpu"),
                 tile_tables=m.tile_tables, tile_ngroups=m.tile_ngroups,
-                tile_meta=m.tile_meta)
+                tile_meta=m.tile_meta,
+                       tile_blockmap=m.tile_blockmap,
+                       tile_ext=m.tile_ext)
         if self.engine == "segments":
             from f1tenth_gym_tpu.ops.segments import get_scan_segments
 

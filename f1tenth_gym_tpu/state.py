@@ -119,18 +119,21 @@ class MapData:
     # (ops/pallas_scan.py); built alongside `segments`
     seg_table: Optional[jnp.ndarray] = None
     # exact per-tile segment-visibility culling for the Pallas engine
-    # (ops/culling.py multi-window pack, v8): tile_tables is
-    # (4*n_tiles, Kmax, 8) — blocks [0, n_tiles) the 2x2-tile-window union
-    # tables, [n_tiles, 2*n_tiles) the thinner 1x1 single-tile tables,
-    # [2*n_tiles, 3*n_tiles) the 4x4 unions, [3*n_tiles, 4*n_tiles) the
-    # 8x8 unions (multi-track worlds), all indexed by LOWER-LEFT tile; the
-    # FULL fallback table is NOT here (the kernel carries seg_table as its
-    # own input). tile_ngroups is (4*n_tiles + 1,) with [0] = full-set
-    # group count; tile_meta is (6,)
+    # (ops/culling.py multi-window pack, v9): tile_tables is
+    # (n_blocks, Kmax, 8) deduped window blocks; tile_blockmap
+    # (4*n_tiles,) i32 sends window (tier, lower-left tile) -> block
+    # (tiers stacked [2x2 | 1x1 | 4x4 | 8x8]; -1 = full-table sentinel);
+    # tile_ext (n_blocks, 64) i32 carries the v9 per-member-tile extras
+    # ranges (packed start*256 + count, group units) of SPLIT blocks.
+    # The FULL fallback table is NOT here (the kernel carries seg_table
+    # as its own input). tile_ngroups is (n_blocks + 1,) with [0] =
+    # full-set group count; tile_meta is (6,)
     # [x0, y0, 1/tile_size, nx, ny, max_covered_spread]
     tile_tables: Optional[jnp.ndarray] = None
     tile_ngroups: Optional[jnp.ndarray] = None
     tile_meta: Optional[jnp.ndarray] = None
+    tile_blockmap: Optional[jnp.ndarray] = None
+    tile_ext: Optional[jnp.ndarray] = None
 
     @property
     def height(self) -> int:

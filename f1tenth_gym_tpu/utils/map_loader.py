@@ -52,6 +52,7 @@ def make_map_data(
     max_range: float = 30.0,
     culling_tile_size: float = 2.5,
     culling_neighborhood: int = 1,
+    culling_split_cap: int = 0,
 ) -> MapData:
     """Occupancy bitmap (0 = obstacle) + metadata -> device MapData.
 
@@ -71,6 +72,7 @@ def make_map_data(
     segments = None
     seg_table = None
     tile_tables = tile_ngroups = tile_meta = None
+    tile_blockmap = tile_ext = None
     if extract_segments:
         from f1tenth_gym_tpu.ops.pallas_scan import build_seg_table
         from f1tenth_gym_tpu.ops.segments import segments_from_map
@@ -86,9 +88,16 @@ def make_map_data(
                 np.asarray(segments), max_range,
                 tile_size=culling_tile_size,
                 neighborhood=culling_neighborhood,
+                split_cap_groups=culling_split_cap,
             )
             tile_tables = jnp.asarray(tt.tables)
             tile_ngroups = jnp.asarray(tt.ngroups)
+            tile_blockmap = jnp.asarray(tt.blockmap)
+            # ext rides only when the pack HAS split blocks — a None lets
+            # the kernel skip tracing the per-scan extras loops entirely
+            # (trip-0 dynamic loops measured ~0.5 ms/call, round 4)
+            if (tt.ext % 256).any():
+                tile_ext = jnp.asarray(tt.ext)
             tile_meta = jnp.asarray(
                 [tt.x0, tt.y0, 1.0 / tt.tile_size, tt.nx, tt.ny,
                  tt.neighborhood], dtype=jnp.float32)
@@ -104,6 +113,8 @@ def make_map_data(
         tile_tables=tile_tables,
         tile_ngroups=tile_ngroups,
         tile_meta=tile_meta,
+        tile_blockmap=tile_blockmap,
+        tile_ext=tile_ext,
     )
 
 
@@ -113,7 +124,8 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
              tile_culling: bool = False,
              max_range: float = 30.0,
              culling_tile_size: float = 2.5,
-             culling_neighborhood: int = 1) -> MapData:
+             culling_neighborhood: int = 1,
+             culling_split_cap: int = 0) -> MapData:
     """Load a ROS-style map yaml + image pair into device arrays.
 
     map_path: path to the .yaml (with or without extension);
@@ -129,4 +141,5 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
                          simplify_tol_cells=simplify_tol_cells,
                          tile_culling=tile_culling, max_range=max_range,
                          culling_tile_size=culling_tile_size,
-                         culling_neighborhood=culling_neighborhood)
+                         culling_neighborhood=culling_neighborhood,
+                         culling_split_cap=culling_split_cap)

@@ -53,35 +53,49 @@ def test_no_self_occlusion():
 
 @pytest.fixture(scope="module")
 def culled_map():
+    # split cap pinned ON so the v9 split-block kernel path stays covered
+    # (production default is 0 = union-only: the split sweep measured a
+    # net loss on v5e, see ops/culling.py)
     return load_map(map_path("compact"), ".png", extract_segments=True,
-                    tile_culling=True, culling_tile_size=2.0)
+                    tile_culling=True, culling_tile_size=2.0,
+                    culling_split_cap=96)
 
 
 def test_tile_tables_shapes(culled_map):
     m = culled_map
     assert m.tile_tables is not None and m.tile_ngroups is not None
+    assert m.tile_blockmap is not None and m.tile_ext is not None
     n_blocks, kmax, eight = m.tile_tables.shape
     assert eight == 8 and kmax % GROUP == 0
     meta = np.asarray(m.tile_meta)
-    # merged multi-window pack (v8): 2x2, then 1x1, then 4x4, then 8x8
+    # v9 pack: deduped blocks addressed through blockmap, tiers stacked
+    # [2x2 | 1x1 | 4x4 | 8x8] by lower-left tile
     T = int(meta[3]) * int(meta[4])
-    assert n_blocks == 4 * T
+    bm = np.asarray(m.tile_blockmap)
+    assert bm.shape == (4 * T,)
     ng = np.asarray(m.tile_ngroups)
+    ext = np.asarray(m.tile_ext)
     assert len(ng) == n_blocks + 1 and ng[0] >= 1
-    # tile entries: -1 = full-table sentinel, else 1..kmax/8 groups
-    tiles = ng[1:]
-    real = tiles[tiles >= 0]
+    assert ext.shape == (n_blocks, 64)
+    # blockmap entries: -1 = full-table sentinel, else a valid block
+    assert bm.min() >= -1 and bm.max() < n_blocks
+    real = ng[1:]
     assert real.min() >= 1 and real.max() * GROUP <= kmax
     # culling must actually bite somewhere
     assert real.min() < ng[0]
-    # window monotonicity where tiers are real: 1x1 <= 2x2 <= 4x4 <= 8x8
-    w2 = ng[1:1 + T]
-    w1 = ng[1 + T:1 + 2 * T]
-    w4 = ng[1 + 2 * T:1 + 3 * T]
-    w8 = ng[1 + 3 * T:]
-    for a, b in ((w1, w2), (w2, w4), (w4, w8)):
-        both = (a > 0) & (b > 0)
-        assert np.all(a[both] <= b[both])
+    # every extras range must stay inside its block and every per-scan
+    # sweep (common + extras) inside kmax
+    starts, cnts = ext // 256, ext % 256
+    assert (starts + cnts).max() * GROUP <= kmax
+    used = cnts > 0
+    blk_ids = np.broadcast_to(np.arange(n_blocks)[:, None], ext.shape)
+    assert np.all(starts[used] >= ng[1 + blk_ids[used]])
+    # dedup must actually dedupe on a corridor map
+    assert n_blocks < 4 * T
+    # 1x1 windows never carry extras (their common IS the tile's set, and
+    # split/union blocks live in disjoint dedup namespaces)
+    blk1 = bm[T:2 * T]
+    assert np.all(cnts[blk1[blk1 >= 0]] == 0)
 
 
 def test_culled_scan_bitwise_equals_full(culled_map):
@@ -126,7 +140,9 @@ def test_culled_scan_bitwise_equals_full(culled_map):
     full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
     cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
                        tile_tables=m.tile_tables,
-                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta)
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
+                       tile_blockmap=m.tile_blockmap,
+                       tile_ext=m.tile_ext)
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -147,7 +163,9 @@ def test_out_of_grid_falls_back_exactly(culled_map):
     full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
     cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
                        tile_tables=m.tile_tables,
-                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta)
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
+                       tile_blockmap=m.tile_blockmap,
+                       tile_ext=m.tile_ext)
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -199,7 +217,9 @@ def test_each_window_size_bitwise(culled_map):
     full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
     cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
                        tile_tables=m.tile_tables,
-                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta)
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
+                       tile_blockmap=m.tile_blockmap,
+                       tile_ext=m.tile_ext)
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -237,3 +257,13 @@ def test_native_umbra_matches_numpy():
     if orig(segs, segs, np.zeros((1, 4, 2)), 30.0, 2.0) is None:
         pytest.skip("native library unavailable")
     assert np.array_equal(vis_native, vis_numpy)
+
+
+def test_default_cap_has_no_split_blocks():
+    """Production default (split cap 0) must yield union-only packs with
+    tile_ext None, so the kernel never traces the per-scan extras loops
+    (they measured ~0.5 ms/call of pipeline cost even at trip 0)."""
+    m = load_map(map_path("compact"), ".png", extract_segments=True,
+                 tile_culling=True, culling_tile_size=2.0)
+    assert m.tile_ext is None
+    assert m.tile_blockmap is not None

@@ -81,15 +81,22 @@ def test_culling_stays_local():
     md, infos = multi_track_map_data(N_TRACKS, seed=SEED, tile_culling=True,
                                      dtype=jnp.float64)
     ng = np.asarray(md.tile_ngroups)
+    blockmap = np.asarray(md.tile_blockmap)
+    ext = None if md.tile_ext is None else np.asarray(md.tile_ext)
     total = int(ng[0])
     meta = np.asarray(md.tile_meta)
     nx = int(meta[3])
-    # tiles at the four track centers
+    # tiles at the four track centers: per-scan swept groups for a scan in
+    # the lower-left member of the tile's 2x2 window (v9: common part +
+    # that member's extras range)
     locals_ = []
     for info in infos:
         cx = (info.bbox[0] + info.bbox[2]) / 2
         cy = (info.bbox[1] + info.bbox[3]) / 2
         ti = int((cx - meta[0]) * meta[2])
         tj = int((cy - meta[1]) * meta[2])
-        locals_.append(int(ng[1 + tj * nx + ti]))
+        blk = int(blockmap[tj * nx + ti])   # 2x2 tier occupies slots [0, T)
+        assert blk >= 0, "track-center window fell back to the full table"
+        extra = 0 if ext is None else int(ext[blk, 0]) % 256
+        locals_.append(int(ng[1 + blk]) + extra)
     assert max(locals_) < total / 2, (locals_, total)

@@ -32,13 +32,16 @@ from f1tenth_gym_tpu.parallel.vector import tile_snake_key  # noqa: E402
 
 
 def stats_for(md, poses):
-    """poses (N, 3) already locality-sorted; returns per-SUBGROUP stats
-    (the kernel selects one culled window per SUB-scan subgroup)."""
+    """poses (N, 3) already locality-sorted; returns per-SUBGROUP window
+    tier usage and the PER-SCAN swept group count (v9: common part shared
+    by the subgroup + each scan's own extras range)."""
     tm = np.asarray(md.tile_meta)
     x0, y0, inv_ts = tm[0], tm[1], tm[2]
     nx, ny = int(tm[3]), int(tm[4])
     T = nx * ny
     ng_all = np.asarray(md.tile_ngroups)
+    blockmap = np.asarray(md.tile_blockmap)
+    ext = None if md.tile_ext is None else np.asarray(md.tile_ext)
     full_ng = int(ng_all[0])
 
     p = np.asarray(poses, np.float32)
@@ -48,22 +51,39 @@ def stats_for(md, poses):
     ti = np.floor((p[:, 0] - x0) * inv_ts).astype(int).reshape(-1, SUB)
     tj = np.floor((p[:, 1] - y0) * inv_ts).astype(int).reshape(-1, SUB)
     # the kernel's own selection cascade — shared, not re-implemented
-    bid, ng = select_windows(ti, tj, ng_all, T, nx, ny, full_ng)
-    bid, ng = np.asarray(bid), np.asarray(ng)
-    use1 = (bid >= 1 + T) & (bid < 1 + 2 * T)
-    use2 = (bid >= 1) & (bid < 1 + T)
-    use4 = (bid >= 1 + 2 * T) & (bid < 1 + 3 * T)
-    use8 = bid >= 1 + 3 * T
+    bid, ng, est, ecnt = select_windows(
+        jnp.asarray(ti), jnp.asarray(tj), jnp.asarray(blockmap),
+        jnp.asarray(ng_all), None if ext is None else jnp.asarray(ext),
+        nx, ny, full_ng)
+    bid = np.asarray(bid)
+    ng = np.asarray(ng)
+    ecnt = np.asarray(ecnt)
+    # tier attribution (dedup makes it unrecoverable from bid; recompute
+    # the cascade conditions the way select_windows does)
+    ti_lo, ti_hi = ti.min(-1), ti.max(-1)
+    tj_lo, tj_hi = tj.min(-1), tj.max(-1)
+    in_grid = (ti_lo >= 0) & (tj_lo >= 0) & (ti_hi < nx) & (tj_hi < ny)
+    sx, sy = ti_hi - ti_lo, tj_hi - tj_lo
+    tidx = np.clip(tj_lo * nx + ti_lo, 0, T - 1)
+    use1 = in_grid & (sx == 0) & (sy == 0) & (blockmap[T + tidx] >= 0)
+    use2 = (in_grid & (sx <= 1) & (sy <= 1) & (blockmap[tidx] >= 0)
+            & ~use1)
+    use4 = (in_grid & (sx <= 3) & (sy <= 3) & (blockmap[2 * T + tidx] >= 0)
+            & ~use1 & ~use2)
+    use8 = (in_grid & (sx <= 7) & (sy <= 7) & (blockmap[3 * T + tidx] >= 0)
+            & ~use1 & ~use2 & ~use4)
+    per_scan = ng[:, None] + ecnt  # (nsub, SUB) groups each scan sweeps
     return {
         "programs": n_pad // EA,
         "subgroups": len(ng),
         "w1": int(use1.sum()), "w2": int(use2.sum()),
         "w4": int(use4.sum()), "w8": int(use8.sum()),
         "full": int((~(use1 | use2 | use4 | use8)).sum()),
-        "mean_ng": float(ng.mean()),
+        "mean_ng": float(per_scan.mean()),
+        "mean_common": float(ng.mean()),
         "full_ng": full_ng,
-        "mean_segs": float(ng.mean()) * GROUP,
-        "speedup_vs_full": full_ng / float(ng.mean()),
+        "mean_segs": float(per_scan.mean()) * GROUP,
+        "speedup_vs_full": full_ng / float(per_scan.mean()),
     }
 
 
@@ -92,8 +112,9 @@ def main():
     print(f"programs={s['programs']} subgroups={s['subgroups']}  "
           f"1x1={s['w1']}  2x2={s['w2']}  4x4={s['w4']}  8x8={s['w8']}  "
           f"full={s['full']}")
-    print(f"mean swept groups/program = {s['mean_ng']:.2f} "
-          f"(full set: {s['full_ng']}) -> {s['speedup_vs_full']:.2f}x row cull")
+    print(f"mean swept groups/SCAN = {s['mean_ng']:.2f} "
+          f"(shared/common part {s['mean_common']:.2f}; full set: "
+          f"{s['full_ng']}) -> {s['speedup_vs_full']:.2f}x row cull")
 
 
 if __name__ == "__main__":

@@ -76,6 +76,8 @@ def main():
                                cfg.theta_dis, tile_tables=md.tile_tables,
                                tile_ngroups=md.tile_ngroups,
                                tile_meta=md.tile_meta,
+                       tile_blockmap=md.tile_blockmap,
+                       tile_ext=md.tile_ext,
                                phases=_phases)
         r = f(p)
         _ = float(jnp.sum(r))

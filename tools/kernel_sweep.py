@@ -51,7 +51,9 @@ def main():
         if ts not in maps:
             md = load_map(bundled_map(mapname), ".png",
                           dtype=jnp.float32, extract_segments=True,
-                          tile_culling=True, culling_tile_size=ts)
+                          tile_culling=True, culling_tile_size=ts,
+                          culling_split_cap=int(
+                              os.environ.get("SWEEP_CAP", 96)))
             # poses are deterministic given the map and PRNGKey(7): cache
             # the sorted array alongside the map so repeated tile sizes
             # don't redo the host-side sampling + snake sort
@@ -80,7 +82,9 @@ def main():
             return pallas_scan.scan_pallas(
                 pp, md.seg_table, tables, num_beams, cfg.theta_dis,
                 tile_tables=md.tile_tables, tile_ngroups=md.tile_ngroups,
-                tile_meta=md.tile_meta)
+                tile_meta=md.tile_meta,
+                       tile_blockmap=md.tile_blockmap,
+                       tile_ext=md.tile_ext)
         t0 = time.time()
         r = f(p)
         chk = float(jnp.sum(r))

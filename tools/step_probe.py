@@ -85,7 +85,9 @@ def main():
             return scan_pallas(pp, md.seg_table, tables, num_beams,
                                cfg.theta_dis, tile_tables=md.tile_tables,
                                tile_ngroups=md.tile_ngroups,
-                               tile_meta=md.tile_meta)
+                               tile_meta=md.tile_meta,
+                       tile_blockmap=md.tile_blockmap,
+                       tile_ext=md.tile_ext)
         res["scan_ms"] = timeit(f_scan, p)
 
     if "fused" in what:
@@ -96,7 +98,9 @@ def main():
             return scan_pallas(pp, md.seg_table, tables, num_beams,
                                cfg.theta_dis, tile_tables=md.tile_tables,
                                tile_ngroups=md.tile_ngroups,
-                               tile_meta=md.tile_meta, fuse=True,
+                               tile_meta=md.tile_meta,
+                       tile_blockmap=md.tile_blockmap,
+                       tile_ext=md.tile_ext, fuse=True,
                                noise=nz, vel=vel)
         res["fused_ms"] = timeit(f_fused, p, nz, vel)
 

@@ -123,7 +123,9 @@ def main():
             f = jax.jit(lambda p: scan_pallas(
                 p, md.seg_table, tables, B, 2000,
                 tile_tables=md.tile_tables, tile_ngroups=md.tile_ngroups,
-                tile_meta=md.tile_meta))
+                tile_meta=md.tile_meta,
+                       tile_blockmap=md.tile_blockmap,
+                       tile_ext=md.tile_ext))
             dt = timeit(f, key_flat)
         elif k == "kern/scan-fused":
             from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas
@@ -132,7 +134,9 @@ def main():
             f = jax.jit(lambda p, n, v: scan_pallas(
                 p, md.seg_table, tables, B, 2000,
                 tile_tables=md.tile_tables, tile_ngroups=md.tile_ngroups,
-                tile_meta=md.tile_meta, fuse=True, noise=n, vel=v))
+                tile_meta=md.tile_meta,
+                       tile_blockmap=md.tile_blockmap,
+                       tile_ext=md.tile_ext, fuse=True, noise=n, vel=v))
             dt = timeit(f, key_flat, nz, vel)
         elif k == "kern/overlay":
             from f1tenth_gym_tpu.ops import collision as col_ops
@@ -169,6 +173,37 @@ def main():
                         p, s, ovv, tables)))(pb, scans, verts[:, opp_idx])
                 return scans, hit
             dt = timeit(f, sc, pp, vel, kk)
+        elif k == "step/scan16":
+            # amortize per-dispatch overhead: 16 steps per jit call via
+            # lax.scan (the bench's python loop dispatches one step/call)
+            cfg = SimConfig(num_agents=2, num_beams=B, dtype="float32",
+                            scan_engine="pallas", fuse_extras=False)
+            states, *_ = batch_reset(poses, ks, params, md, tables, cfg,
+                                     0.01)
+            states = sort_envs_for_locality(states, **sort_kw)
+            astep = make_autoreset_step(params, md, tables, cfg, 0.01,
+                                        reset_to_start=True)
+            acts = jnp.zeros((E, 2, 2), jnp.float32).at[..., 1].set(2.0)
+
+            @jax.jit
+            def f16(s):
+                def one(ss, _):
+                    ss, *_ = astep.impl(ss, acts, md)
+                    return ss, ()
+                s, _ = jax.lax.scan(one, s, None, length=16)
+                return s
+            dt = timeit(f16, states) / 16.0
+        elif k == "xla/noise-rbg":
+            kk = jax.random.split(
+                jax.random.key(3, impl="rbg"), E)
+            sc = jnp.full((E, 2, B), 10.0, jnp.float32)
+
+            @jax.jit
+            def f(scans, keyb):
+                nz = jax.vmap(lambda kb: 0.01 * jax.random.normal(
+                    jax.random.fold_in(kb, 0), (B,), jnp.float32))(keyb)
+                return scans + nz[:, None, :]
+            dt = timeit(f, sc, kk)
         elif k == "xla/noise":
             kk = jax.random.split(jax.random.PRNGKey(3), E)
             sc = jnp.full((E, 2, B), 10.0, jnp.float32)
