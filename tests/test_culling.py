@@ -267,3 +267,25 @@ def test_default_cap_has_no_split_blocks():
                  tile_culling=True, culling_tile_size=2.0)
     assert m.tile_ext is None
     assert m.tile_blockmap is not None
+
+
+def test_window_cap_drops_oversized_windows():
+    """window_cap_groups must sentinel windows whose table exceeds the cap
+    (shrinking the pack's padded Kmax — every block is DMA'd at that
+    height) while keeping the small ones intact."""
+    rng = np.random.default_rng(3)
+    segs = np.concatenate([
+        np.array([[0.0, 0.0, 20.0, 0.0], [20.0, 0.0, 20.0, 20.0],
+                  [20.0, 20.0, 0.0, 20.0], [0.0, 20.0, 0.0, 0.0]]),
+        rng.uniform(1.0, 19.0, (60, 4)),  # open clutter: wide visibility
+    ])
+    un = build_tile_tables(segs, 30.0, tile_size=2.0)
+    capped = build_tile_tables(segs, 30.0, tile_size=2.0,
+                               window_cap_groups=4)
+    assert un.tables.shape[1] > 4 * GROUP        # uncapped packs run wide
+    assert capped.tables.shape[1] <= 4 * GROUP   # Kmax respects the cap
+    kept = capped.ngroups[1:]
+    assert kept.max() <= 4
+    # oversized windows became sentinels, so strictly fewer blocks remain
+    assert (capped.blockmap >= 0).sum() < (un.blockmap >= 0).sum()
+    assert (capped.blockmap == -1).any()
