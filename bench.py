@@ -22,12 +22,14 @@ import os
 import sys
 import time
 
-# tuned headline defaults (override with the env vars): 8 scans/program
-# makes kernel programs spatially tighter on the racing workload — more
-# hit the thin culled windows (583k -> 600k env-steps/s at ts=1.25) —
-# and the 1.25 m culling grid beat 1.7/2.0/2.5 in the round-3 sweep.
+# tuned headline defaults (override with the env vars): with round-5
+# erosion-fused culling the sweep shrank (mean swept groups 13.8 -> 7.9)
+# and per-program fixed costs dominate, so scans/program moved back UP —
+# 32 measured best (kernel 5.37 ms vs 6.41 at EA=8, tools/kernel_phases).
+# Window tightness is unaffected: selection is per-8-scan SUBGROUP either
+# way. The 1.25 m culling grid beat 1.7/2.0/2.5 in the round-3 sweep.
 # Must be set before the package import reads it.
-os.environ.setdefault("F1TENTH_PALLAS_EA", "8")
+os.environ.setdefault("F1TENTH_PALLAS_EA", "32")
 
 import jax
 
@@ -228,6 +230,8 @@ def main():
         from f1tenth_gym_tpu.ops.lidar import check_ttc, get_scan
         from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas
 
+        from f1tenth_gym_tpu.core.simulator import _elig_kwargs
+
         def cross_engine_mse(md, check_poses):
             march = get_scan(check_poses, md, tables, num_beams,
                              cfg.theta_dis, max_iters=cfg.max_march_iters)
@@ -235,9 +239,10 @@ def main():
                               cfg.theta_dis, tile_tables=md.tile_tables,
                               tile_ngroups=md.tile_ngroups,
                               tile_meta=md.tile_meta,
-                       tile_blockmap=md.tile_blockmap,
-                       tile_ext=md.tile_ext,
-                              interpret=jax.default_backend() != "tpu")
+                              tile_blockmap=md.tile_blockmap,
+                              tile_ext=md.tile_ext,
+                              interpret=jax.default_backend() != "tpu",
+                              **_elig_kwargs(md))
             return float(jnp.mean((march - pal) ** 2))
 
         bench_map_name = os.path.splitext(os.path.basename(map_path))[0]
@@ -300,16 +305,16 @@ def main():
                 interpret=interp, tile_tables=map_data.tile_tables,
                 tile_ngroups=map_data.tile_ngroups,
                 tile_meta=map_data.tile_meta,
-                       tile_blockmap=map_data.tile_blockmap,
-                       tile_ext=map_data.tile_ext)
+                tile_blockmap=map_data.tile_blockmap,
+                tile_ext=map_data.tile_ext, **_elig_kwargs(map_data))
             u_scan = scan_pallas(
                 gate_poses, map_data.seg_table, tables, num_beams,
                 cfg.theta_dis, interpret=interp,
                 tile_tables=map_data.tile_tables,
                 tile_ngroups=map_data.tile_ngroups,
                 tile_meta=map_data.tile_meta,
-                       tile_blockmap=map_data.tile_blockmap,
-                       tile_ext=map_data.tile_ext)
+                tile_blockmap=map_data.tile_blockmap,
+                tile_ext=map_data.tile_ext, **_elig_kwargs(map_data))
             fused_mse = float(jnp.mean((f_scan - u_scan) ** 2))
             assert fused_mse < 1e-9, \
                 f"fused-vs-unfused scan kernels differ: mse={fused_mse}"

@@ -112,6 +112,22 @@ def physics_step(
     return x_new, steer_buf
 
 
+
+
+def _elig_kwargs(map_data: MapData) -> dict:
+    """Runtime-eligibility kwargs for erosion-gated culling packs.
+
+    The gather grid is the map raster itself (ops/culling.py stores the
+    eligibility mask on the same (H, W) grid as the bitmap)."""
+    if map_data.cull_eligible is None:
+        return {}
+    return dict(
+        elig_raster=map_data.cull_eligible,
+        elig_meta=jnp.stack([map_data.orig_x, map_data.orig_y,
+                             map_data.resolution]).astype(jnp.float32),
+    )
+
+
 def sim_step(
     state: SimState,
     actions: jnp.ndarray,
@@ -187,8 +203,9 @@ def sim_step(
             tile_tables=map_data.tile_tables,
             tile_ngroups=map_data.tile_ngroups,
             tile_meta=map_data.tile_meta,
-                       tile_blockmap=map_data.tile_blockmap,
-                       tile_ext=map_data.tile_ext,
+            tile_blockmap=map_data.tile_blockmap,
+            tile_ext=map_data.tile_ext,
+            **_elig_kwargs(map_data),
         )  # (A, B), (A,)
 
         # --- 6: agent-agent collisions at new poses (pre-TTC-zeroing)
@@ -255,8 +272,9 @@ def sim_step(
             tile_tables=map_data.tile_tables,
             tile_ngroups=map_data.tile_ngroups,
             tile_meta=map_data.tile_meta,
-                       tile_blockmap=map_data.tile_blockmap,
-                       tile_ext=map_data.tile_ext,
+            tile_blockmap=map_data.tile_blockmap,
+            tile_ext=map_data.tile_ext,
+            **_elig_kwargs(map_data),
         )  # (A, B)
     elif engine == "segments":
         if map_data.segments is None:

@@ -101,7 +101,12 @@ class TileTables(NamedTuple):
     tile_size: float
     nx: int                # grid dims
     ny: int
-    neighborhood: int      # kept for meta compat (max covered spread = 7)
+    neighborhood: int      # meta slot: 7 = plain pack, 8 = erosion-gated
+    # (H, W) uint8 runtime-eligibility raster for erosion-fused packs
+    # (see erosion_refine): scans from cells with 0 here MUST fall back to
+    # the full table (scan_pallas gathers it per scan origin). None for
+    # packs built without erosion fusion.
+    eligible: Optional[np.ndarray] = None
 
 
 def _cross(ax, ay, bx, by):
@@ -238,6 +243,349 @@ def tile_visibility(
     return vis & ~blocked, nx, ny, float(xmin), float(ymin)
 
 
+# ---------------------------------------------------------------------------
+# Erosion-based occluder FUSION (round 5)
+# ---------------------------------------------------------------------------
+#
+# The umbra test above is single-occluder: segment S is culled only when ONE
+# wall W blocks every corner->endpoint sightline. On corridor maps the
+# provable per-point visible set under that test is ~6 groups while the
+# exact point-visible set is ~1.5 (docs/performance.md window-granularity
+# table) — the gap is CUMULATIVE occlusion by several walls, which no
+# single-W test can see, and naive per-sightline unions are unsound (gaps
+# between occluders can be visible from tile interior points even when all
+# corner sightlines are blocked).
+#
+# The sound fusion tool is volumetric, built on one lemma:
+#
+#   EROSION LEMMA. Let V be any region ("virtual solid"). If the segment
+#   [c, q] contains a point x with B(x, r) subset of V, then for EVERY
+#   viewpoint p with |p - c| <= r the segment [p, q] intersects V:
+#   the point y = x + t*(p - c) (t* = the parameter of x on [c, q]) lies
+#   on [p, q] and |y - x| = t*|p - c| <= r.
+#
+# So blocking proven from the tile-subcell CENTER against V eroded by the
+# subcell circumradius holds for every pose in the subcell. V must be chosen
+# so that "[p, q] intersects V deeply" implies "[p, q] crosses a TABLE
+# SEGMENT strictly before q" (that is what makes removing S exact for the
+# kernel's min-over-segments):
+#
+#   * The traced wall segments form CLOSED LOOPS (contour boundaries). For
+#     a loop L, crossing from strictly-outside its polygon interior I(L) to
+#     strictly-inside crosses one of L's segments.
+#   * Fix an ELIGIBILITY raster E: free cells of one distinguished free
+#     component whose centers are provably clear of every segment. A loop
+#     is usable as "type-out" if NO eligible cell is inside I(L) (then
+#     I(L) is virtual solid: an eligible p is outside, a deep point y is
+#     inside -> crossing), or "type-in" if ALL eligible cells are inside
+#     (then the EXTERIOR is virtual solid). V = the union of those regions,
+#     shrunk 2.5 cells away from every segment so raster containment at
+#     cell centers extends to full cells.
+#
+# Thin-wall maps (the reference example map: walls 2-3 cells thick) get
+# their occluding bulk back this way: the infield interior and the outside
+# region are virtual solid even though the raster walls are paper-thin.
+#
+# The per-(tile, segment) test then marches rays: subdivide S's angular
+# extent from the subcell center c into pieces of width dtheta; for each
+# piece, walk the central ray and accept when a sample x at distance d has
+#
+#   depth_V(x) >= r_subcell + 2*d*sin(dtheta/4) + slack,   d <= dmin(c,
+#                                                          piece) - margin
+#
+# (the 2nd term covers the whole ray fan of the piece at distance d; the
+# dmin bound keeps x strictly before every hit on S). Every quantity is
+# conservative, so culled scans stay BIT-IDENTICAL to the full sweep — for
+# ELIGIBLE poses. Ineligible poses (wrong component, within ~2.5 cells of
+# a wall, off-grid) are handled at runtime: scan_pallas gathers the
+# eligibility raster at each scan origin and falls back to the full table
+# for subgroups containing any ineligible scan, so end-to-end exactness
+# holds for every pose unconditionally.
+
+_ELIG_SEG_CELLS = 2.5   # eligibility: cell centers this far from segments
+_CORE_SEG_CELLS = 2.5   # V shrink: core cells this far from segments
+_DEPTH_SLACK_CELLS = 1.5  # raster center-vs-point association slack
+# operating point from the round-5 parameter sweep on the example map
+# (occupancy-weighted groups/tile 9.91 umbra-only -> 6.26; finer settings
+# saturate at 6.19 for 2x the host build time):
+_PIECE_DTHETA = 0.04    # rad, angular piece width for the ray fan
+_MARCH_STEP_CELLS = 1.5
+_MARCH_CAP_M = 16.0     # rays needing deeper proofs keep the segment
+
+
+def _reconstruct_loops(segs: np.ndarray):
+    """(K, 4) segments -> list of index arrays forming CLOSED loops.
+
+    The contour tracers emit consecutive polyline segments whose endpoints
+    match exactly (verified on all bundled maps), so loops reconstruct by
+    exact endpoint lookup. Open chains and ambiguous junctions are dropped
+    (they simply contribute no occluder bulk — conservative)."""
+    start = {}
+    for i, (ax, ay, _, _) in enumerate(segs):
+        start.setdefault((ax, ay), []).append(i)
+    loops = []
+    seen = set()
+    for i in range(len(segs)):
+        if i in seen:
+            continue
+        chain = [i]
+        seen.add(i)
+        j = i
+        while True:
+            nxt = start.get((segs[j, 2], segs[j, 3]), [])
+            nxt = [n for n in nxt if n not in seen or n == chain[0]]
+            if len(nxt) != 1:
+                chain = None
+                break
+            j = nxt[0]
+            if j == chain[0]:
+                loops.append(np.asarray(chain))
+                break
+            chain.append(j)
+            seen.add(j)
+    return loops
+
+
+def _scanline_interior(loop_segs: np.ndarray, H: int, W: int,
+                       x0: float, y0: float, res: float) -> np.ndarray:
+    """Even-odd interior mask of one closed polyline, at cell centers."""
+    ys = y0 + (np.arange(H) + 0.5) * res
+    diff = np.zeros((H, W + 1), np.int32)
+    for ax, ay, bx, by in loop_segs:
+        if ay == by:
+            continue
+        ylo, yhi = (ay, by) if ay < by else (by, ay)
+        rows = np.nonzero((ys >= ylo) & (ys < yhi))[0]
+        if not len(rows):
+            continue
+        t = (ys[rows] - ay) / (by - ay)
+        xi = ax + t * (bx - ax)
+        # cells whose CENTER x0 + (c + .5) res < xi get one crossing
+        ci = np.clip(np.ceil((xi - x0) / res - 0.5).astype(np.int64), 0, W)
+        np.add.at(diff[:, 0], rows, 1)
+        np.add.at(diff, (rows, ci), -1)
+    return (np.cumsum(diff[:, :W], axis=1) % 2).astype(bool)
+
+
+def _rasterize_segments(segs: np.ndarray, H: int, W: int,
+                        x0: float, y0: float, res: float) -> np.ndarray:
+    """Mark every cell a segment passes through (samples every 0.4 cells:
+    any segment point is within ~0.9 cells of a marked cell center)."""
+    mark = np.zeros((H, W), bool)
+    step = 0.4 * res
+    for ax, ay, bx, by in segs:
+        n = max(2, int(np.ceil(np.hypot(bx - ax, by - ay) / step)) + 1)
+        t = np.linspace(0.0, 1.0, n)
+        cx = np.floor((ax + t * (bx - ax) - x0) / res).astype(np.int64)
+        cy = np.floor((ay + t * (by - ay) - y0) / res).astype(np.int64)
+        ok = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+        mark[cy[ok], cx[ok]] = True
+    return mark
+
+
+def erosion_refine(
+    segs: np.ndarray,
+    vis: np.ndarray,
+    nx: int,
+    ny: int,
+    x0t: float,
+    y0t: float,
+    tile_size: float,
+    bitmap: np.ndarray,
+    resolution: float,
+    origin,
+    component_seed=None,
+    subcenters: int = 3,
+):
+    """Refine per-tile visibility with erosion-fused occluders.
+
+    segs: (K, 4) the table segments; vis: (n_tiles, K) current visibility
+    (j-major, from tile_visibility); bitmap: the loaded occupancy raster
+    (0 = wall, >0 = free, already flipped to world orientation);
+    component_seed: world (x, y) picking the distinguished free component
+    (default: the component with the most near-wall area — the corridor).
+
+    Returns (vis', eligible) with vis' <= vis elementwise and eligible an
+    (H, W) uint8 raster for the runtime gate, or (vis, None) when fusion
+    is unavailable (rotated map origin, no closed loops, empty eligibility).
+    """
+    from scipy import ndimage
+
+    if abs(float(origin[2])) > 1e-9:
+        return vis, None  # raster<->world rotation unsupported; skip
+    H, W = bitmap.shape
+    x0, y0 = float(origin[0]), float(origin[1])
+    res = float(resolution)
+
+    loops = _reconstruct_loops(segs)
+    loops = [ix for ix in loops if len(ix) >= 3]
+    if not loops:
+        return vis, None
+
+    free = bitmap > 0
+    seg_mark = _rasterize_segments(segs, H, W, x0, y0, res)
+    d_seg = ndimage.distance_transform_edt(~seg_mark)  # cells
+
+    labels, nlab = ndimage.label(free)
+    if nlab == 0:
+        return vis, None
+    if component_seed is not None:
+        ci = int(np.floor((component_seed[0] - x0) / res))
+        ri = int(np.floor((component_seed[1] - y0) / res))
+        if not (0 <= ri < H and 0 <= ci < W) or labels[ri, ci] == 0:
+            return vis, None
+        lab = labels[ri, ci]
+    else:
+        # corridor heuristic: the component with the most near-wall cells
+        d_occ = ndimage.distance_transform_edt(free) * res
+        near = (d_occ <= 1.0) & free
+        counts = np.bincount(labels[near], minlength=nlab + 1)
+        counts[0] = 0
+        lab = int(np.argmax(counts))
+    eligible = (labels == lab) & (d_seg >= _ELIG_SEG_CELLS)
+    if not eligible.any():
+        return vis, None
+
+    # --- virtual solid V from certified loop interiors/exteriors
+    V = np.zeros((H, W), bool)
+    usable = 0
+    for ix in loops:
+        interior = _scanline_interior(segs[ix], H, W, x0, y0, res)
+        if not (eligible & interior).any():
+            V |= interior                 # type-out: no eligible pose inside
+            usable += 1
+        elif not (eligible & ~interior).any():
+            V |= ~interior                # type-in: every eligible pose inside
+            usable += 1
+    if not usable:
+        return vis, None
+    core = V & (d_seg >= _CORE_SEG_CELLS)
+    depth = (ndimage.distance_transform_edt(core)
+             - _DEPTH_SLACK_CELLS) * res   # meters, conservative
+    np.maximum(depth, 0.0, out=depth)
+
+    # --- per-(tile, subcenter, segment) piece construction
+    a = segs[:, 0:2]
+    b = segs[:, 2:4]
+    e = b - a
+    sc = subcenters
+    sub = tile_size / sc
+    r_i = sub * np.sqrt(2.0) / 2.0 + 2e-3 * np.sqrt(2.0)
+    # subcenter world coords per tile: (T, sc*sc, 2)
+    ti = np.arange(nx) * tile_size + x0t
+    tj = np.arange(ny) * tile_size + y0t
+    cxg, cyg = np.meshgrid(ti, tj)            # (ny, nx)
+    offs = (np.arange(sc) + 0.5) * sub
+    ox, oy = np.meshgrid(offs, offs)
+    centers = (np.stack([cxg, cyg], -1).reshape(-1, 1, 2)
+               + np.stack([ox.ravel(), oy.ravel()], -1)[None])  # (T, S2, 2)
+
+    tt, kk = np.nonzero(vis)
+    if not len(tt):
+        return vis, None
+    S2 = sc * sc
+    # flat (cand, subcenter) axis
+    C = centers[tt]                            # (M, S2, 2)
+    A_ = a[kk][:, None, :]
+    E_ = e[kk][:, None, :]
+    ca = A_ - C                                # (M, S2, 2) c->a
+    cb = ca + E_
+    tha = np.arctan2(ca[..., 1], ca[..., 0])
+    thb = np.arctan2(cb[..., 1], cb[..., 0])
+    width = thb - tha
+    width = (width + np.pi) % (2 * np.pi) - np.pi   # short way, (-pi, pi)
+    # distance c -> segment
+    len2 = np.maximum((E_ * E_).sum(-1), 1e-30)
+    u = np.clip(-(ca * E_).sum(-1) / len2, 0.0, 1.0)
+    foot = ca + u[..., None] * E_
+    dmin_seg = np.hypot(foot[..., 0], foot[..., 1])
+    testable = (np.abs(width) > 1e-9) & (dmin_seg > r_i + 0.05)
+
+    n_pieces = np.where(
+        testable,
+        np.ceil(np.abs(width) / _PIECE_DTHETA).astype(np.int64), 0)
+    n_pieces = np.minimum(n_pieces, 64)
+
+    # blocked status per (M, S2); untestable -> NOT blocked
+    blocked_cs = np.zeros(tt.shape[0] * S2, bool)
+
+    flat_np = n_pieces.ravel()
+    pid = np.nonzero(flat_np > 0)[0]           # (cand,sub) with pieces
+    if len(pid):
+        reps = flat_np[pid]
+        owner = np.repeat(pid, reps)           # piece -> (cand,sub) row
+        within = np.concatenate([np.arange(r) for r in reps])
+        cw = C.reshape(-1, 2)
+        caw = ca.reshape(-1, 2)
+        ew = np.broadcast_to(E_, (len(tt), S2, 2)).reshape(-1, 2)
+        thaw = tha.ravel()
+        wdw = width.ravel()
+        npw = flat_np
+        # piece boundary angles + central angle
+        t0 = thaw[owner] + wdw[owner] * within / npw[owner]
+        t1 = thaw[owner] + wdw[owner] * (within + 1) / npw[owner]
+        tc = 0.5 * (t0 + t1)
+        half = 0.5 * np.abs(wdw[owner]) / npw[owner]
+        # piece endpoints on S: ray/line intersection per boundary angle
+        def _hit(th):
+            d = np.stack([np.cos(th), np.sin(th)], -1)
+            den = ew[owner, 0] * d[:, 1] - ew[owner, 1] * d[:, 0]
+            den = np.where(np.abs(den) < 1e-30, 1e-30, den)
+            uu = (caw[owner, 0] * d[:, 1] - caw[owner, 1] * d[:, 0]) / -den
+            uu = np.clip(uu, 0.0, 1.0)
+            return caw[owner] + uu[:, None] * ew[owner]   # c-relative
+        q0 = _hit(t0)
+        q1 = _hit(t1)
+        pe = q1 - q0
+        pl2 = np.maximum((pe * pe).sum(-1), 1e-30)
+        uf = np.clip(-(q0 * pe).sum(-1) / pl2, 0.0, 1.0)
+        pf = q0 + uf[:, None] * pe
+        dmin_piece = np.minimum(
+            np.hypot(pf[:, 0], pf[:, 1]),
+            np.minimum(np.hypot(q0[:, 0], q0[:, 1]),
+                       np.hypot(q1[:, 0], q1[:, 1])))
+        dmax_march = np.minimum(dmin_piece - res, _MARCH_CAP_M)
+
+        dirx = np.cos(tc)
+        diry = np.sin(tc)
+        cxw = cw[owner, 0]
+        cyw = cw[owner, 1]
+        sin4 = np.sin(half / 2.0)
+
+        h = _MARCH_STEP_CELLS * res
+        max_steps = int(np.ceil(_MARCH_CAP_M / h))
+        alive = np.arange(len(owner))
+        piece_blocked = np.zeros(len(owner), bool)
+        for j in range(max_steps):
+            if not len(alive):
+                break
+            d = (j + 0.5) * h
+            live = d <= dmax_march[alive]
+            alive = alive[live]
+            if not len(alive):
+                break
+            px = cxw[alive] + d * dirx[alive]
+            py = cyw[alive] + d * diry[alive]
+            ci_ = np.floor((px - x0) / res).astype(np.int64)
+            ri_ = np.floor((py - y0) / res).astype(np.int64)
+            inb = (ci_ >= 0) & (ci_ < W) & (ri_ >= 0) & (ri_ < H)
+            dep = np.where(inb, depth[np.clip(ri_, 0, H - 1),
+                                      np.clip(ci_, 0, W - 1)], 0.0)
+            hitmask = dep >= r_i + 2.0 * d * sin4[alive]
+            piece_blocked[alive[hitmask]] = True
+            alive = alive[~hitmask]
+
+        # (cand, sub) blocked iff EVERY piece blocked
+        good = np.ones(tt.shape[0] * S2, bool)
+        np.logical_and.at(good, owner, piece_blocked)
+        blocked_cs[pid] = good[pid]
+
+    blocked = blocked_cs.reshape(-1, S2).all(-1)   # all subcenters
+    vis = vis.copy()
+    vis[tt[blocked], kk[blocked]] = False
+    return vis, eligible.astype(np.uint8)
+
+
 def split_segments(segs: np.ndarray, max_len: float) -> np.ndarray:
     """Split (K, 4) segments into collinear pieces of length <= max_len.
 
@@ -284,8 +632,20 @@ def build_tile_tables(
     max_bytes: int = 1 << 30,
     split_cap_groups: int = 0,
     window_cap_groups: int = None,
+    bitmap: np.ndarray = None,
+    resolution: float = None,
+    origin=None,
+    component_seed=None,
 ) -> TileTables:
     """Build the packed multi-window kernel tables (v9, see TileTables).
+
+    bitmap/resolution/origin (optional): the occupancy raster the segments
+    were traced from. When provided, per-tile visibility is refined with
+    EROSION-FUSED multi-occluder proofs (see erosion_refine) and the pack
+    becomes eligibility-GATED: the returned ``eligible`` raster must be
+    given to scan_pallas so ineligible scan origins fall back to the full
+    table. component_seed picks the distinguished free component (world
+    x, y); default auto-picks the corridor.
 
     segments: (K, 4) wall segments (padding rows with coords >= 1e6 are
     dropped, matching build_seg_table). split_len (optional) splits targets
@@ -337,6 +697,12 @@ def build_tile_tables(
     while True:
         vis, nx, ny, x0, y0 = tile_visibility(segs, max_range, tile_size,
                                               bbox, occluders=orig)
+        eligible = None
+        if bitmap is not None:
+            vis, eligible = erosion_refine(
+                segs, vis, nx, ny, x0, y0, tile_size,
+                np.asarray(bitmap), resolution, origin,
+                component_seed=component_seed)
         T = nx * ny
         v = vis.reshape(ny, nx, -1)
 
@@ -463,7 +829,8 @@ def build_tile_tables(
         tile_size=float(tile_size),
         nx=nx,
         ny=ny,
-        neighborhood=7,
+        neighborhood=8 if eligible is not None else 7,
+        eligible=eligible,
     )
 
 
@@ -475,6 +842,10 @@ def build_tile_tables_cached(
     cache_dir: Optional[str] = None,
     split_cap_groups: int = 0,
     window_cap_groups: int = None,
+    bitmap: np.ndarray = None,
+    resolution: float = None,
+    origin=None,
+    component_seed=None,
 ) -> TileTables:
     """build_tile_tables with an npz disk cache.
 
@@ -484,11 +855,15 @@ def build_tile_tables_cached(
     Set cache_dir=None for $F1TENTH_TPU_CACHE or ~/.cache/f1tenth_gym_tpu.
     """
     segs = np.ascontiguousarray(np.asarray(segments, np.float64))
-    h = hashlib.sha1(b"tile-tables-v9")  # bump on algorithm changes
+    h = hashlib.sha1(b"tile-tables-v10")  # bump on algorithm changes
     h.update(segs.tobytes())
     h.update(np.float64([max_range, tile_size, neighborhood,
                          split_cap_groups,
                          window_cap_groups or 0]).tobytes())
+    if bitmap is not None:
+        h.update(np.ascontiguousarray(bitmap, np.uint8).tobytes())
+        h.update(np.float64([resolution, *origin]).tobytes())
+        h.update(np.float64(component_seed or (np.nan, np.nan)).tobytes())
     key = h.hexdigest()[:16]
     cache_dir = cache_dir or os.environ.get(
         "F1TENTH_TPU_CACHE",
@@ -503,16 +878,20 @@ def build_tile_tables_cached(
             y0=float(z["y0"]), tile_size=float(z["tile_size"]),
             nx=int(z["nx"]), ny=int(z["ny"]),
             neighborhood=int(z["neighborhood"]),
+            eligible=z["eligible"] if "eligible" in z.files else None,
         )
     tt = build_tile_tables(segs, max_range, tile_size=tile_size,
                            neighborhood=neighborhood,
                            split_cap_groups=split_cap_groups,
-                           window_cap_groups=window_cap_groups)
+                           window_cap_groups=window_cap_groups,
+                           bitmap=bitmap, resolution=resolution,
+                           origin=origin, component_seed=component_seed)
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + f".tmp{os.getpid()}.npz"  # np.savez appends .npz itself
+    extra = {} if tt.eligible is None else {"eligible": tt.eligible}
     np.savez(tmp[:-4], tables=tt.tables, ngroups=tt.ngroups,
              blockmap=tt.blockmap, ext=tt.ext, x0=tt.x0,
              y0=tt.y0, tile_size=tt.tile_size, nx=tt.nx, ny=tt.ny,
-             neighborhood=tt.neighborhood)
+             neighborhood=tt.neighborhood, **extra)
     os.replace(tmp, path)
     return tt

@@ -512,11 +512,29 @@ def select_windows(tig, tjg, blockmap, tile_ngroups, tile_ext,
     return bid, ng, est, ecnt
 
 
+def scan_pallas(*args, **kwargs):
+    """Public entry: misuse guard + the jitted kernel wrapper below.
+
+    (The guard must run OUTSIDE jit: an erosion-gated pack — tile_meta
+    slot 5 == 8, see ops/culling.py — requires the eligibility raster, and
+    that can only be checked when the meta arrives as a concrete array.)
+    """
+    tile_meta = kwargs.get("tile_meta")
+    if (tile_meta is not None and kwargs.get("elig_raster") is None
+            and not isinstance(tile_meta, jax.core.Tracer)):
+        if float(np.asarray(tile_meta)[5]) >= 8:
+            raise ValueError(
+                "erosion-gated culling pack used without its eligibility "
+                "raster: pass elig_raster/elig_meta (MapData.cull_eligible "
+                "+ [orig_x, orig_y, resolution]) to scan_pallas")
+    return _scan_pallas(*args, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_beams", "theta_dis", "interpret", "phases",
                      "fuse"))
-def scan_pallas(
+def _scan_pallas(
     pose: jnp.ndarray,            # (..., 3)
     seg_table: jnp.ndarray,       # (K, 8) from build_seg_table
     tables: ScanTables,
@@ -532,6 +550,8 @@ def scan_pallas(
     fuse: bool = False,                # fused noise + iTTC epilogue
     noise: jnp.ndarray = None,         # (..., num_beams) additive noise
     vel: jnp.ndarray = None,           # (...,) longitudinal velocity
+    elig_raster: jnp.ndarray = None,   # (H, W) uint8 eligibility raster
+    elig_meta: jnp.ndarray = None,     # (3,) [orig_x, orig_y, resolution]
 ) -> jnp.ndarray:
     """Batched LiDAR scan -> (..., num_beams) ranges.
 
@@ -635,6 +655,25 @@ def scan_pallas(
         bid, ng, est, ecnt = select_windows(
             ti.reshape(nsub, SUB), tj.reshape(nsub, SUB), tile_blockmap,
             tile_ngroups, tile_ext, nx, ny, Kf // GROUP)
+        if elig_raster is not None:
+            # EROSION-GATED pack (ops/culling.py erosion_refine): the
+            # culled tables are only proven for scan origins whose raster
+            # cell is eligible (right free component, clear of walls).
+            # Subgroups containing any ineligible scan sweep the full
+            # table, which keeps culled == full bitwise for EVERY pose.
+            ex = jnp.floor((p[:, 0] - elig_meta[0]) / elig_meta[2]
+                           ).astype(jnp.int32)
+            ey = jnp.floor((p[:, 1] - elig_meta[1]) / elig_meta[2]
+                           ).astype(jnp.int32)
+            Hm, Wm = elig_raster.shape
+            inb = (ex >= 0) & (ex < Wm) & (ey >= 0) & (ey < Hm)
+            ok = inb & (elig_raster[jnp.clip(ey, 0, Hm - 1),
+                                    jnp.clip(ex, 0, Wm - 1)] > 0)
+            ok_sub = ok.reshape(nsub, SUB).all(-1)
+            bid = jnp.where(ok_sub, bid, 0)
+            ng = jnp.where(ok_sub, ng, Kf // GROUP)
+            est = jnp.where(ok_sub[:, None], est, 0)
+            ecnt = jnp.where(ok_sub[:, None], ecnt, 0)
         est = est.reshape(-1).astype(jnp.float32)
         ecnt = ecnt.reshape(-1).astype(jnp.float32)
     has_extras = tile_ext is not None
@@ -732,7 +771,8 @@ def scan_pallas(
 def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
                           interpret=False, tile_tables=None,
                           tile_ngroups=None, tile_meta=None,
-                          tile_blockmap=None, tile_ext=None):
+                          tile_blockmap=None, tile_ext=None,
+                          elig_raster=None, elig_meta=None):
     """scan_pallas that collapses under jax.vmap into ONE pallas call.
 
     jax's default pallas batching rule adds a grid dimension per vmap level,
@@ -746,7 +786,8 @@ def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
         return scan_pallas(p, seg_table, tables, num_beams, theta_dis,
                            interpret=interpret, tile_tables=tile_tables,
                            tile_ngroups=tile_ngroups, tile_meta=tile_meta,
-                           tile_blockmap=tile_blockmap, tile_ext=tile_ext)
+                           tile_blockmap=tile_blockmap, tile_ext=tile_ext,
+                           elig_raster=elig_raster, elig_meta=elig_meta)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, p):  # noqa: ANN001
@@ -759,7 +800,8 @@ def scan_pallas_fused_vmappable(pose, noise, vel, seg_table, tables,
                                 num_beams, theta_dis, interpret=False,
                                 tile_tables=None, tile_ngroups=None,
                                 tile_meta=None, tile_blockmap=None,
-                                tile_ext=None):
+                                tile_ext=None, elig_raster=None,
+                                elig_meta=None):
     """Fused (scan + noise + iTTC) scan_pallas under jax.vmap.
 
     Same batch-collapsing custom_vmap trick as scan_pallas_vmappable;
@@ -772,7 +814,8 @@ def scan_pallas_fused_vmappable(pose, noise, vel, seg_table, tables,
                            interpret=interpret, tile_tables=tile_tables,
                            tile_ngroups=tile_ngroups, tile_meta=tile_meta,
                            tile_blockmap=tile_blockmap, tile_ext=tile_ext,
-                           fuse=True, noise=nz, vel=v)
+                           fuse=True, noise=nz, vel=v,
+                           elig_raster=elig_raster, elig_meta=elig_meta)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, p, nz, v):  # noqa: ANN001

@@ -119,14 +119,16 @@ class ScanSimulator2D:
         if self.engine == "pallas":
             from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas
 
+            from f1tenth_gym_tpu.core.simulator import _elig_kwargs
+
             return scan_pallas(
                 poses, m.seg_table, self.tables, self.num_beams,
                 self.theta_dis,
                 interpret=(jax.default_backend() != "tpu"),
                 tile_tables=m.tile_tables, tile_ngroups=m.tile_ngroups,
                 tile_meta=m.tile_meta,
-                       tile_blockmap=m.tile_blockmap,
-                       tile_ext=m.tile_ext)
+                tile_blockmap=m.tile_blockmap,
+                tile_ext=m.tile_ext, **_elig_kwargs(m))
         if self.engine == "segments":
             from f1tenth_gym_tpu.ops.segments import get_scan_segments
 

@@ -134,6 +134,13 @@ class MapData:
     tile_meta: Optional[jnp.ndarray] = None
     tile_blockmap: Optional[jnp.ndarray] = None
     tile_ext: Optional[jnp.ndarray] = None
+    # (H, W) uint8 runtime-eligibility raster for EROSION-FUSED culling
+    # packs (ops/culling.py erosion_refine): scans whose origin cell is 0
+    # here (wrong free component / within ~2.5 cells of a wall / off-map)
+    # fall back to the full segment table inside scan_pallas, which keeps
+    # culled scans bit-identical to the full sweep for EVERY pose. Shares
+    # the map raster grid (orig_x/orig_y/resolution). None for plain packs.
+    cull_eligible: Optional[jnp.ndarray] = None
 
     @property
     def height(self) -> int:

@@ -54,6 +54,8 @@ def make_map_data(
     culling_neighborhood: int = 1,
     culling_split_cap: int = 0,
     culling_window_cap: int = None,
+    culling_erosion: bool = True,
+    culling_component_seed=None,
 ) -> MapData:
     """Occupancy bitmap (0 = obstacle) + metadata -> device MapData.
 
@@ -73,7 +75,7 @@ def make_map_data(
     segments = None
     seg_table = None
     tile_tables = tile_ngroups = tile_meta = None
-    tile_blockmap = tile_ext = None
+    tile_blockmap = tile_ext = cull_eligible = None
     if extract_segments:
         from f1tenth_gym_tpu.ops.pallas_scan import build_seg_table
         from f1tenth_gym_tpu.ops.segments import segments_from_map
@@ -91,6 +93,10 @@ def make_map_data(
                 neighborhood=culling_neighborhood,
                 split_cap_groups=culling_split_cap,
                 window_cap_groups=culling_window_cap,
+                bitmap=(bitmap if culling_erosion else None),
+                resolution=resolution,
+                origin=origin,
+                component_seed=culling_component_seed,
             )
             tile_tables = jnp.asarray(tt.tables)
             tile_ngroups = jnp.asarray(tt.ngroups)
@@ -100,6 +106,8 @@ def make_map_data(
             # (trip-0 dynamic loops measured ~0.5 ms/call, round 4)
             if (tt.ext % 256).any():
                 tile_ext = jnp.asarray(tt.ext)
+            if tt.eligible is not None:
+                cull_eligible = jnp.asarray(tt.eligible)
             tile_meta = jnp.asarray(
                 [tt.x0, tt.y0, 1.0 / tt.tile_size, tt.nx, tt.ny,
                  tt.neighborhood], dtype=jnp.float32)
@@ -117,6 +125,7 @@ def make_map_data(
         tile_meta=tile_meta,
         tile_blockmap=tile_blockmap,
         tile_ext=tile_ext,
+        cull_eligible=cull_eligible,
     )
 
 
@@ -128,7 +137,9 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
              culling_tile_size: float = 2.5,
              culling_neighborhood: int = 1,
              culling_split_cap: int = 0,
-             culling_window_cap: int = None) -> MapData:
+             culling_window_cap: int = None,
+             culling_erosion: bool = True,
+             culling_component_seed=None) -> MapData:
     """Load a ROS-style map yaml + image pair into device arrays.
 
     map_path: path to the .yaml (with or without extension);
@@ -146,4 +157,6 @@ def load_map(map_path: str, map_ext: str = ".png", dtype=jnp.float32,
                          culling_tile_size=culling_tile_size,
                          culling_neighborhood=culling_neighborhood,
                          culling_split_cap=culling_split_cap,
-                         culling_window_cap=culling_window_cap)
+                         culling_window_cap=culling_window_cap,
+                         culling_erosion=culling_erosion,
+                         culling_component_seed=culling_component_seed)

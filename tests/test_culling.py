@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import pytest
 
 from f1tenth_gym_tpu import load_map, make_scan_tables
+from f1tenth_gym_tpu.core.simulator import _elig_kwargs
 from f1tenth_gym_tpu.maps import map_path
 from f1tenth_gym_tpu.ops.culling import build_tile_tables, tile_visibility
 from f1tenth_gym_tpu.ops.pallas_scan import EA, GROUP, scan_pallas
@@ -109,7 +110,9 @@ def test_culled_scan_bitwise_equals_full(culled_map):
     dt = np.asarray(m.dt)
     res = float(m.resolution)
     rng = np.random.default_rng(5)
-    cells = np.argwhere(dt > 0.3)
+    elig = np.asarray(m.cull_eligible) if m.cull_eligible is not None else None
+    cells = np.argwhere((dt > 0.3) & (elig > 0)) if elig is not None \
+        else np.argwhere(dt > 0.3)
     wx = cells[:, 1] * res + float(m.orig_x)
     wy = cells[:, 0] * res + float(m.orig_y)
     ing = ((wx > meta[0] + 2) & (wx < meta[0] + nx / meta[2] - 2)
@@ -142,7 +145,7 @@ def test_culled_scan_bitwise_equals_full(culled_map):
                        tile_tables=m.tile_tables,
                        tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
                        tile_blockmap=m.tile_blockmap,
-                       tile_ext=m.tile_ext)
+                       tile_ext=m.tile_ext, **_elig_kwargs(m))
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -165,7 +168,7 @@ def test_out_of_grid_falls_back_exactly(culled_map):
                        tile_tables=m.tile_tables,
                        tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
                        tile_blockmap=m.tile_blockmap,
-                       tile_ext=m.tile_ext)
+                       tile_ext=m.tile_ext, **_elig_kwargs(m))
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -179,7 +182,9 @@ def test_each_window_size_bitwise(culled_map):
     ts = 1.0 / meta[2]
     dt = np.asarray(m.dt)
     res = float(m.resolution)
-    cells = np.argwhere(dt > 0.35)
+    elig = np.asarray(m.cull_eligible) if m.cull_eligible is not None else None
+    cells = np.argwhere((dt > 0.35) & (elig > 0)) if elig is not None \
+        else np.argwhere(dt > 0.35)
     wx = cells[:, 1] * res + float(m.orig_x)
     wy = cells[:, 0] * res + float(m.orig_y)
     rng = np.random.default_rng(11)
@@ -219,7 +224,7 @@ def test_each_window_size_bitwise(culled_map):
                        tile_tables=m.tile_tables,
                        tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
                        tile_blockmap=m.tile_blockmap,
-                       tile_ext=m.tile_ext)
+                       tile_ext=m.tile_ext, **_elig_kwargs(m))
     assert np.array_equal(np.asarray(full), np.asarray(cull))
 
 
@@ -289,3 +294,105 @@ def test_window_cap_drops_oversized_windows():
     # oversized windows became sentinels, so strictly fewer blocks remain
     assert (capped.blockmap >= 0).sum() < (un.blockmap >= 0).sum()
     assert (capped.blockmap == -1).any()
+
+
+# ---------------------------------------------------------------------------
+# Erosion-fused multi-occluder culling (round 5, ops/culling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_erosion_bites_beyond_umbra():
+    """Erosion fusion must cull strictly more than the single-occluder
+    umbra test on a corridor map, and produce an eligibility raster."""
+    m_er = load_map(map_path("compact"), ".png", extract_segments=True,
+                    tile_culling=True, culling_tile_size=2.0)
+    m_um = load_map(map_path("compact"), ".png", extract_segments=True,
+                    tile_culling=True, culling_tile_size=2.0,
+                    culling_erosion=False)
+    assert m_er.cull_eligible is not None
+    assert m_um.cull_eligible is None
+    assert float(np.asarray(m_er.tile_meta)[5]) == 8
+    assert float(np.asarray(m_um.tile_meta)[5]) == 7
+    # compare the 1x1 tiers' mean group counts over tiles both packs map
+    T = int(np.asarray(m_er.tile_meta)[3]) * int(np.asarray(m_er.tile_meta)[4])
+    def mean_1x1(m):
+        bm = np.asarray(m.tile_blockmap)[T:2 * T]
+        ng = np.asarray(m.tile_ngroups)
+        got = bm[bm >= 0]
+        return ng[1 + got].mean(), set(np.nonzero(bm >= 0)[0])
+    g_er, t_er = mean_1x1(m_er)
+    g_um, t_um = mean_1x1(m_um)
+    common = np.array(sorted(t_er & t_um))
+    assert len(common) > 10
+    bm_e = np.asarray(m_er.tile_blockmap)[T:2 * T][common]
+    bm_u = np.asarray(m_um.tile_blockmap)[T:2 * T][common]
+    ng_e = np.asarray(m_er.tile_ngroups)[1 + bm_e].astype(float)
+    ng_u = np.asarray(m_um.tile_ngroups)[1 + bm_u].astype(float)
+    assert ng_e.mean() < ng_u.mean(), (ng_e.mean(), ng_u.mean())
+
+
+def test_erosion_gate_near_wall_poses_exact():
+    """Poses NEAR WALLS (ineligible: within ~2.5 cells of a segment) and in
+    foreign free components must fall back to the full table and stay
+    bit-exact."""
+    m = load_map(map_path("compact"), ".png", extract_segments=True,
+                 tile_culling=True, culling_tile_size=2.0)
+    assert m.cull_eligible is not None
+    tables = make_scan_tables(num_beams=108)
+    dt = np.asarray(m.dt)
+    elig = np.asarray(m.cull_eligible)
+    res = float(m.resolution)
+    rng = np.random.default_rng(13)
+    # free cells that are NOT eligible (near-wall band + other components)
+    cells = np.argwhere((dt > 0.05) & (elig == 0))
+    pick = cells[rng.integers(0, len(cells), 2 * EA)]
+    poses = np.stack([pick[:, 1] * res + float(m.orig_x),
+                      pick[:, 0] * res + float(m.orig_y),
+                      rng.uniform(0, 2 * np.pi, 2 * EA)], 1)
+    p = jnp.asarray(poses, jnp.float32)
+    full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
+    cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
+                       tile_tables=m.tile_tables,
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
+                       tile_blockmap=m.tile_blockmap,
+                       tile_ext=m.tile_ext, **_elig_kwargs(m))
+    assert np.array_equal(np.asarray(full), np.asarray(cull))
+
+
+def test_erosion_pack_requires_eligibility_raster():
+    """Using an erosion-gated pack without its eligibility raster is a
+    correctness bug; the public scan_pallas entry must refuse it."""
+    m = load_map(map_path("compact"), ".png", extract_segments=True,
+                 tile_culling=True, culling_tile_size=2.0)
+    tables = make_scan_tables(num_beams=108)
+    p = jnp.zeros((EA, 3), jnp.float32)
+    with pytest.raises(ValueError, match="eligibility"):
+        scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
+                    tile_tables=m.tile_tables,
+                    tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
+                    tile_blockmap=m.tile_blockmap, tile_ext=m.tile_ext)
+
+
+def test_erosion_mixed_eligibility_fuzz():
+    """Random mixed batches (eligible corridor poses + near-wall poses +
+    off-grid poses): culled scans equal full scans bitwise."""
+    m = load_map(map_path("compact"), ".png", extract_segments=True,
+                 tile_culling=True, culling_tile_size=2.0)
+    tables = make_scan_tables(num_beams=108)
+    dt = np.asarray(m.dt)
+    res = float(m.resolution)
+    rng = np.random.default_rng(21)
+    cells = np.argwhere(dt > 0.05)   # anywhere free, any eligibility
+    pick = cells[rng.integers(0, len(cells), 4 * EA)]
+    poses = np.stack([pick[:, 1] * res + float(m.orig_x),
+                      pick[:, 0] * res + float(m.orig_y),
+                      rng.uniform(0, 2 * np.pi, 4 * EA)], 1)
+    poses[::7] += 50.0   # a few way off-grid
+    p = jnp.asarray(poses, jnp.float32)
+    full = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True)
+    cull = scan_pallas(p, m.seg_table, tables, 108, 2000, interpret=True,
+                       tile_tables=m.tile_tables,
+                       tile_ngroups=m.tile_ngroups, tile_meta=m.tile_meta,
+                       tile_blockmap=m.tile_blockmap,
+                       tile_ext=m.tile_ext, **_elig_kwargs(m))
+    assert np.array_equal(np.asarray(full), np.asarray(cull))

@@ -33,6 +33,7 @@ jax.config.update(
 import jax.numpy as jnp
 import numpy as np
 
+from f1tenth_gym_tpu.core.simulator import _elig_kwargs
 from f1tenth_gym_tpu import SimConfig, load_map, make_scan_tables
 from f1tenth_gym_tpu.maps import map_path as bundled_map
 from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas
@@ -76,9 +77,9 @@ def main():
                                cfg.theta_dis, tile_tables=md.tile_tables,
                                tile_ngroups=md.tile_ngroups,
                                tile_meta=md.tile_meta,
-                       tile_blockmap=md.tile_blockmap,
-                       tile_ext=md.tile_ext,
-                               phases=_phases)
+                               tile_blockmap=md.tile_blockmap,
+                               tile_ext=md.tile_ext,
+                               phases=_phases, **_elig_kwargs(md))
         r = f(p)
         _ = float(jnp.sum(r))
         t0 = time.time()

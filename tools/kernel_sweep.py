@@ -27,6 +27,7 @@ jax.config.update(
 import jax.numpy as jnp
 import numpy as np
 
+from f1tenth_gym_tpu.core.simulator import _elig_kwargs
 from f1tenth_gym_tpu import SimConfig, load_map, make_scan_tables
 from f1tenth_gym_tpu.maps import map_path as bundled_map
 from f1tenth_gym_tpu.ops import pallas_scan
@@ -83,8 +84,8 @@ def main():
                 pp, md.seg_table, tables, num_beams, cfg.theta_dis,
                 tile_tables=md.tile_tables, tile_ngroups=md.tile_ngroups,
                 tile_meta=md.tile_meta,
-                       tile_blockmap=md.tile_blockmap,
-                       tile_ext=md.tile_ext)
+                tile_blockmap=md.tile_blockmap,
+                tile_ext=md.tile_ext, **_elig_kwargs(md))
         t0 = time.time()
         r = f(p)
         chk = float(jnp.sum(r))

@@ -31,6 +31,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
+from f1tenth_gym_tpu.core.simulator import _elig_kwargs
 from f1tenth_gym_tpu import (SimConfig, VehicleParams, load_map,
                              make_scan_tables)
 from f1tenth_gym_tpu.maps import map_path as bundled_map
@@ -86,8 +87,8 @@ def main():
                                cfg.theta_dis, tile_tables=md.tile_tables,
                                tile_ngroups=md.tile_ngroups,
                                tile_meta=md.tile_meta,
-                       tile_blockmap=md.tile_blockmap,
-                       tile_ext=md.tile_ext)
+                               tile_blockmap=md.tile_blockmap,
+                               tile_ext=md.tile_ext, **_elig_kwargs(md))
         res["scan_ms"] = timeit(f_scan, p)
 
     if "fused" in what:
@@ -99,9 +100,9 @@ def main():
                                cfg.theta_dis, tile_tables=md.tile_tables,
                                tile_ngroups=md.tile_ngroups,
                                tile_meta=md.tile_meta,
-                       tile_blockmap=md.tile_blockmap,
-                       tile_ext=md.tile_ext, fuse=True,
-                               noise=nz, vel=vel)
+                               tile_blockmap=md.tile_blockmap,
+                               tile_ext=md.tile_ext, fuse=True,
+                               noise=nz, vel=vel, **_elig_kwargs(md))
         res["fused_ms"] = timeit(f_fused, p, nz, vel)
 
     if "overlay" in what:

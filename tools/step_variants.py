@@ -36,6 +36,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+from f1tenth_gym_tpu.core.simulator import _elig_kwargs
 from f1tenth_gym_tpu import SimConfig, VehicleParams, load_map, make_scan_tables
 from f1tenth_gym_tpu.maps import map_path as bundled_map
 from f1tenth_gym_tpu.parallel import (
@@ -124,8 +125,8 @@ def main():
                 p, md.seg_table, tables, B, 2000,
                 tile_tables=md.tile_tables, tile_ngroups=md.tile_ngroups,
                 tile_meta=md.tile_meta,
-                       tile_blockmap=md.tile_blockmap,
-                       tile_ext=md.tile_ext))
+                tile_blockmap=md.tile_blockmap,
+                tile_ext=md.tile_ext, **_elig_kwargs(md)))
             dt = timeit(f, key_flat)
         elif k == "kern/scan-fused":
             from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas
@@ -135,8 +136,9 @@ def main():
                 p, md.seg_table, tables, B, 2000,
                 tile_tables=md.tile_tables, tile_ngroups=md.tile_ngroups,
                 tile_meta=md.tile_meta,
-                       tile_blockmap=md.tile_blockmap,
-                       tile_ext=md.tile_ext, fuse=True, noise=n, vel=v))
+                tile_blockmap=md.tile_blockmap,
+                tile_ext=md.tile_ext, fuse=True, noise=n, vel=v,
+                **_elig_kwargs(md)))
             dt = timeit(f, key_flat, nz, vel)
         elif k == "kern/overlay":
             from f1tenth_gym_tpu.ops import collision as col_ops
