@@ -104,10 +104,10 @@ def weak_child(n_devices: int):
     print(json.dumps({"devices": n_devices, "rate": round(rate, 1)}))
 
 
-def weak_parent():
-    """Weak-scaling sweep over 1/2/4/8 virtual CPU devices (the multi-chip
+def _weak_rates():
+    """Weak-scaling rates over 1/2/4/8 virtual CPU devices (the multi-chip
     sharding-overhead stand-in for the pod-scaling target; real ICI rates
-    need real multi-chip hardware). Prints a table + one JSON line."""
+    need real multi-chip hardware). Returns {n_devices: total env-steps/s}."""
     import subprocess
     import sys as _sys
 
@@ -119,7 +119,7 @@ def weak_parent():
         env["JAX_PLATFORMS"] = "cpu"
         out = subprocess.run(
             [_sys.executable, os.path.abspath(__file__), "--weak-child", str(n)],
-            capture_output=True, text=True, env=env,
+            capture_output=True, text=True, env=env, timeout=600,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
@@ -129,6 +129,12 @@ def weak_parent():
         rates[n] = json.loads(line[-1])["rate"]
         print(f"# devices={n}: {rates[n]:.0f} env-steps/s "
               f"({rates[n]/n:.0f}/device)", file=sys.stderr)
+    return rates
+
+
+def weak_parent():
+    """`bench.py --weak-scaling`: table + one JSON line."""
+    rates = _weak_rates()
     # virtual devices share one physical CPU, so the meaningful number is
     # throughput RETENTION: total rate with 8 shards of 8x the envs vs 1
     # shard (1.0 = the sharded program adds zero overhead; per-device ICI
@@ -465,6 +471,21 @@ def main():
     if gate_mse:
         result["scan_mse_by_map"] = gate_mse
         result["ittc_collision_gate"] = "ok"
+    # weak-scaling retention rides along in the same JSON line so the
+    # driver's BENCH_r*.json records the BASELINE.json scaling target
+    # (>= 80% 1-chip -> N-host efficiency; the CPU-mesh stand-in measures
+    # the sharding overhead — see docs/performance.md). Guarded: a child
+    # failure must never sink the headline capture.
+    if os.environ.get("BENCH_WEAK", "1") == "1":
+        try:
+            rates = _weak_rates()
+            result["weak_scaling_retention_8shard"] = round(
+                rates[8] / rates[1], 3)
+            result["weak_scaling_total_rates"] = {
+                str(n): rates[n] for n in rates}
+        except Exception as e:  # noqa: BLE001
+            print(f"# weak-scaling capture failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     print(json.dumps(result))
     print(
         f"# envs={num_envs} steps={num_steps} beams={num_beams} engine={engine} "

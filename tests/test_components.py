@@ -278,3 +278,48 @@ def test_scan_noise_statistics(ring_env):
     # independence across steps: step-lag-1 correlation ~ 0
     c_step = np.corrcoef(n[:-1].ravel(), n[1:].ravel())[0, 1]
     assert abs(c_step) < 0.05, c_step
+
+
+def test_replace_params_per_agent():
+    """VehicleParams.replace_params semantics (reference: per-agent updates
+    of any param via each RaceCar's own dict copy, base_classes.py:514-534).
+
+    Here params are pytree leaves: global updates work on scalar or (A,)
+    leaves, per-agent updates require (A,) leaves and LOUDLY reject scalar
+    leaves (the agent count is not inferable from a scalar)."""
+    # global update of a scalar leaf
+    p = VehicleParams.create()
+    p2 = p.replace_params({"mu": 0.9})
+    assert p2.mu.shape == p.mu.shape
+    assert float(p2.mu) == pytest.approx(0.9)
+    assert float(p2.m) == pytest.approx(float(p.m))  # others untouched
+
+    # global update broadcast over an (A,)-leaf
+    pa = VehicleParams.create({"mu": np.full(3, 1.0489)})
+    pa_g = pa.replace_params({"mu": 0.7})
+    np.testing.assert_allclose(np.asarray(pa_g.mu), 0.7)
+
+    # per-agent update of an (A,) leaf touches ONLY that agent
+    pa1 = pa.replace_params({"mu": 0.5}, agent_idx=1)
+    np.testing.assert_allclose(
+        np.asarray(pa1.mu), [1.0489, 0.5, 1.0489], rtol=0, atol=1e-6)
+
+    # per-agent update of a scalar leaf raises (loud, not silent)
+    with pytest.raises(ValueError, match="Per-agent"):
+        p.replace_params({"mu": 0.5}, agent_idx=0)
+
+    # gym wrapper end-to-end: F110Env broadcasts leaves to (A,) at
+    # construction, so update_params(index=...) always works there
+    # (f110_env.py:364-375 surface)
+    from f1tenth_gym_tpu.envs import F110Env
+
+    env = F110Env(map=os.path.splitext(map_path("example_map"))[0],
+                  map_ext=".png", num_agents=2, num_beams=64,
+                  scan_engine="march")
+    env.update_params({"mu": 0.66, "v_max": 12.0}, index=1)
+    np.testing.assert_allclose(
+        np.asarray(env.params.mu), [1.0489, 0.66], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(env.params.v_max), [20.0, 12.0], rtol=0, atol=1e-6)
+    env.update_params({"mu": 0.75})  # global update still fine
+    np.testing.assert_allclose(np.asarray(env.params.mu), 0.75)

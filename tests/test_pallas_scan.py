@@ -192,3 +192,59 @@ def test_overlay_kernel_fuzz_vs_xla(ring):
                                rtol=0, atol=2e-3)
     # the overlay must actually fire somewhere in this ensemble
     assert float(jnp.sum(jnp.abs(ker - scans) > 1e-3)) > 50
+
+
+def test_overlay_collinear_fallback_divergence(ring):
+    """The reference's collinear-ray fallback (laser_models.py:275-278) and
+    where the Pallas overlay kernel deliberately omits it.
+
+    The fallback fires only when a beam/edge denominator is EXACTLY zero in
+    float AND the scan origin is collinear with the edge — reachable in
+    practice only through degenerate (zero-length-edge) opponent geometry,
+    since v3 = (cos, sin)(beam_theta + pi/2) never lands exactly
+    perpendicular through trig. Three pins:
+
+    1. the XLA path (ops.collision.ray_cast_opponents) implements the
+       fallback: a POINT opponent (all 4 vertices equal) clips the nearest
+       beam to its distance, exactly as the reference does;
+    2. the Pallas overlay kernel omits it: the same point opponent leaves
+       the scan unchanged (the documented measure-zero divergence,
+       ops/pallas_scan.py overlay docstring);
+    3. any non-degenerate geometry — including a box with an edge exactly
+       collinear with the scan origin — makes the two paths agree again:
+       a closed rectangle's adjacent edges supply the same distance through
+       the regular intersection path, which is why the fallback is
+       measure-zero for real car boxes.
+    """
+    from f1tenth_gym_tpu.ops.collision import ray_cast_opponents
+    from f1tenth_gym_tpu.ops.pallas_scan import overlay_opponents_pallas
+
+    m, tables = ring
+    pose = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    scan = jnp.full((NB,), 25.0, jnp.float32)
+
+    # --- 1+2: point opponent 1.2 m dead ahead (every edge zero-length:
+    # denom == 0 exactly, o/va/vb collinear -> reference fallback distance
+    # |va - o| = 1.2 on the beam nearest angle 0)
+    pt = jnp.tile(jnp.asarray([[1.2, 0.0]], jnp.float32), (4, 1))[None]
+    ref = ray_cast_opponents(pose, scan, pt, tables)
+    beam0 = int(np.argmin(np.abs(np.asarray(tables.scan_angles))))
+    assert np.asarray(ref)[beam0] == pytest.approx(1.2, abs=1e-6)
+    changed = np.flatnonzero(np.asarray(ref) != 25.0)
+    np.testing.assert_array_equal(changed, [beam0])
+
+    ker = overlay_opponents_pallas(scan[None], pose[None], pt[None],
+                                   tables, NB, TD, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ker)[0], 25.0)
+
+    # --- 3: collinear-but-closed box (near edge ON the scan origin's x
+    # axis): both paths clip through the regular intersection math and
+    # agree to f32 round-off
+    box = jnp.asarray([[[1.0, 0.0], [1.5, 0.0], [1.5, 0.3], [1.0, 0.3]]],
+                      jnp.float32)
+    ref_b = ray_cast_opponents(pose, scan, box, tables)
+    ker_b = overlay_opponents_pallas(scan[None], pose[None], box[None],
+                                     tables, NB, TD, interpret=True)
+    assert float(np.min(np.asarray(ref_b))) == pytest.approx(1.0, abs=2e-3)
+    np.testing.assert_allclose(np.asarray(ker_b)[0], np.asarray(ref_b),
+                               rtol=0, atol=2e-3)
