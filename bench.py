@@ -16,7 +16,6 @@ BENCH_BEAMS (1080), BENCH_MAP (path to yaml; default: reference example map
 when mounted, else synthetic ring).
 """
 
-import dataclasses
 import json
 import os
 import sys
@@ -170,11 +169,8 @@ def main():
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
     num_agents = int(os.environ.get("BENCH_AGENTS", 2))
-    # fused extras measured slower than the XLA extras path on v5e (see
-    # SimConfig.fuse_extras); BENCH_FUSE=1 re-enables for measurement
-    fuse = os.environ.get("BENCH_FUSE", "0") == "1"
     cfg = SimConfig(num_agents=num_agents, num_beams=num_beams,
-                    dtype="float32", scan_engine=engine, fuse_extras=fuse)
+                    dtype="float32", scan_engine=engine)
     params = VehicleParams.create(dtype=jnp.float32)
     tables = make_scan_tables(num_beams=num_beams, dtype=jnp.float32)
 
@@ -291,64 +287,6 @@ def main():
         assert bool(jnp.all(c_hot > 0)) and not bool(jnp.any(c_cold > 0)), \
             f"collision gate: overlap={c_hot} apart={c_cold}"
 
-        # FUSED kernels on this chip (the timed path runs them when
-        # cfg.fuse_extras): the fused scan (noise=0) must match the
-        # unfused kernel bitwise, the fused iTTC row reduction must agree
-        # with check_ttc, and the opponent-overlay kernel must agree with
-        # the XLA ray-cast to f32 round-off
-        if cfg.fuse_extras:
-            from f1tenth_gym_tpu.ops.pallas_scan import (
-                overlay_opponents_pallas, scan_pallas_fused_vmappable,
-            )
-
-            gate_poses = poses[:16].reshape(-1, 3)
-            gvel = jnp.full((gate_poses.shape[0],), 8.0, jnp.float32)
-            interp = jax.default_backend() != "tpu"
-            f_scan, f_hit = scan_pallas_fused_vmappable(
-                gate_poses, jnp.zeros((gate_poses.shape[0], num_beams),
-                                      jnp.float32), gvel,
-                map_data.seg_table, tables, num_beams, cfg.theta_dis,
-                interpret=interp, tile_tables=map_data.tile_tables,
-                tile_ngroups=map_data.tile_ngroups,
-                tile_meta=map_data.tile_meta,
-                tile_blockmap=map_data.tile_blockmap,
-                tile_ext=map_data.tile_ext, **_elig_kwargs(map_data))
-            u_scan = scan_pallas(
-                gate_poses, map_data.seg_table, tables, num_beams,
-                cfg.theta_dis, interpret=interp,
-                tile_tables=map_data.tile_tables,
-                tile_ngroups=map_data.tile_ngroups,
-                tile_meta=map_data.tile_meta,
-                tile_blockmap=map_data.tile_blockmap,
-                tile_ext=map_data.tile_ext, **_elig_kwargs(map_data))
-            fused_mse = float(jnp.mean((f_scan - u_scan) ** 2))
-            assert fused_mse < 1e-9, \
-                f"fused-vs-unfused scan kernels differ: mse={fused_mse}"
-            ref_hit = check_ttc(u_scan, gvel, tables)
-            assert bool(jnp.all(f_hit == ref_hit)), \
-                f"fused iTTC disagrees with check_ttc: {f_hit} vs {ref_hit}"
-            # an opponent 1.2 m dead ahead of scan 0 — the overlay must
-            # actually fire, not just agree vacuously
-            th0 = gate_poses[0, 2]
-            opp_pose = gate_poses[:1] + jnp.stack(
-                [1.2 * jnp.cos(th0), 1.2 * jnp.sin(th0),
-                 jnp.float32(0.0)])[None]
-            opp_v = col_ops.get_vertices(
-                opp_pose, params.length, params.width)[None]  # (1, 1, 4, 2)
-            o_ker = overlay_opponents_pallas(
-                u_scan[:1], gate_poses[:1], opp_v, tables, num_beams,
-                cfg.theta_dis, interpret=interp)
-            o_ref = col_ops.ray_cast_opponents(
-                gate_poses[0], u_scan[0], opp_v[0], tables)
-            overlay_err = float(jnp.max(jnp.abs(o_ker[0] - o_ref)))
-            assert overlay_err < 1e-2, \
-                f"overlay kernel vs XLA ray-cast: max err {overlay_err}"
-            assert float(jnp.max(jnp.abs(o_ref - u_scan[0]))) > 0.1, \
-                "overlay gate is vacuous: the dead-ahead opponent did " \
-                "not clip any beam"
-            gate_mse["fused_scan_vs_unfused"] = fused_mse
-            gate_mse["overlay_max_err"] = round(overlay_err, 6)
-
     # crashed envs restart on their OWN start grid (reference reset
     # semantics, f110_env.py:306) — also keeps the batch's spatial order
     astep = make_autoreset_step(
@@ -423,28 +361,12 @@ def main():
     fused_chunk = make_fused_chunk(astep, chunk_steps)
 
     # warmup / compile (forced readback: block_until_ready can return early
-    # on tunneled backends, so fence with a host transfer). If the fused
-    # noise/iTTC/opponent kernels fail to lower on this chip, fall back to
-    # the unfused pallas path rather than losing the bench run.
+    # on tunneled backends, so fence with a host transfer)
     t0 = time.time()
-    try:
-        s, k, d = fused_chunk(states, jax.random.PRNGKey(1))
-        if engine == "pallas":
-            s = sort_envs_for_locality(s, **sort_kw)
-        _ = float(jnp.sum(s.x))
-    except Exception as e:  # noqa: BLE001
-        if not (engine == "pallas" and cfg.fuse_extras):
-            raise
-        print(f"# fused-extras path failed ({type(e).__name__}: {e}); "
-              "retrying unfused", flush=True)
-        cfg = dataclasses.replace(cfg, fuse_extras=False)
-        astep = make_autoreset_step(
-            params, map_data, tables, cfg, 0.01, reset_to_start=True)
-        fused_chunk = make_fused_chunk(astep, sort_period)
-        s, k, d = fused_chunk(states, jax.random.PRNGKey(1))
-        if engine == "pallas":
-            s = sort_envs_for_locality(s, **sort_kw)
-        _ = float(jnp.sum(s.x))
+    s, k, d = fused_chunk(states, jax.random.PRNGKey(1))
+    if engine == "pallas":
+        s = sort_envs_for_locality(s, **sort_kw)
+    _ = float(jnp.sum(s.x))
     compile_time = time.time() - t0
 
     # timed (includes the periodic locality re-sort that keeps pallas

@@ -74,23 +74,13 @@ class SimConfig:
     # (base_classes.py:119,204), so all agents of an env draw *identical*
     # noise each step. True replicates that; False draws independent noise.
     shared_agent_noise: bool = True
-    # Fuse the post-scan extras (additive beam noise, the iTTC beam
-    # reduction, and the opponent ray-cast overlay) into Pallas kernels
-    # when scan_engine resolves to "pallas" and dtype is float32. Scan
-    # values stay bit-identical to the unfused path (the noise vector is
-    # generated outside with the same rng fold); the iTTC compare and the
-    # opponent-edge intersections run in f32 inside the kernel, and the
-    # reference's collinear-ray fallback (laser_models.py:275-278, a
-    # measure-zero geometry) is not reproduced on this path.
-    # DEFAULT OFF: measured a net LOSS on v5e (tools/step_variants.py,
-    # round 4) — the fused scan epilogue costs +0.5 ms/8192 scans (the
-    # noise ARRAY operand re-adds the HBM traffic the fusion removed) and
-    # the opponent overlay kernel costs 3.1 ms where the XLA ray-cast path
-    # runs the whole noise+iTTC+opponent block in 1.6 ms (XLA already
-    # fuses those elementwise passes). 413k vs 525k env-steps/s end to
-    # end (BENCH_r03 vs round-2). Kept as an option because the kernels
-    # are exact (bench.py gates them on-chip when enabled).
-    fuse_extras: bool = False
+    # (A former fuse_extras option — noise + iTTC in the scan kernel's out
+    # phase, opponents in a second kernel — was removed in round 5 after
+    # measuring a net LOSS on v5e in two consecutive rounds: the noise
+    # ARRAY operand re-added the HBM traffic the fusion saved, and the XLA
+    # noise+iTTC+opponent block outruns the overlay kernel once the
+    # closed-form windows + angle-addition trig landed in ops/collision.py.
+    # The overlay kernel remains in ops/pallas_scan.py as a test oracle.)
     # Computation dtype for the simulation state ("float32" on TPU;
     # "float64" for CPU parity testing vs the float64 reference).
     dtype: str = "float32"

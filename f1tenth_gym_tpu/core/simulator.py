@@ -162,102 +162,14 @@ def sim_step(
             if jax.default_backend() == "tpu" and map_data.seg_table is not None
             else "march"
         )
-    fused = (engine == "pallas" and cfg.fuse_extras
-             and cfg.jnp_dtype == jnp.float32)
-    if fused:
-        # FUSED pallas path (round 3): noise-add + iTTC ride in the scan
-        # kernel's out phase, the opponent ray-cast in a second tiny
-        # kernel — same sub-step ORDER as the unfused branch below
-        # (scan -> noise -> collisions -> iTTC zeroing -> opponent cast
-        # with post-zeroing scan pose), so semantics are preserved; only
-        # the HBM round trips between the XLA passes are gone.
-        if map_data.seg_table is None:
-            raise ValueError(
-                "scan_engine='pallas' needs MapData.seg_table — load the "
-                "map with extract_segments=True"
-            )
-        from f1tenth_gym_tpu.ops.pallas_scan import (
-            overlay_opponents_vmappable, scan_pallas_fused_vmappable,
-        )
-
-        key = state.key
-        if cfg.scan_noise:
-            noise_key = jax.random.fold_in(key, state.steps)
-            if cfg.shared_agent_noise:
-                nz = tables.scan_std * jax.random.normal(
-                    noise_key, (cfg.num_beams,), dtype=jnp.float32)
-                noise_arr = jnp.broadcast_to(
-                    nz[None, :], (cfg.num_agents, cfg.num_beams))
-            else:
-                noise_arr = tables.scan_std * jax.random.normal(
-                    noise_key, (cfg.num_agents, cfg.num_beams),
-                    dtype=jnp.float32)
-        else:
-            noise_arr = jnp.zeros((cfg.num_agents, cfg.num_beams),
-                                  jnp.float32)
-        interp = jax.default_backend() != "tpu"
-        scans, ttc_hit = scan_pallas_fused_vmappable(
-            scan_pose, noise_arr, x_new[..., IX_VEL],
-            map_data.seg_table, tables, cfg.num_beams, cfg.theta_dis,
-            interpret=interp,
-            tile_tables=map_data.tile_tables,
-            tile_ngroups=map_data.tile_ngroups,
-            tile_meta=map_data.tile_meta,
-            tile_blockmap=map_data.tile_blockmap,
-            tile_ext=map_data.tile_ext,
-            **_elig_kwargs(map_data),
-        )  # (A, B), (A,)
-
-        # --- 6: agent-agent collisions at new poses (pre-TTC-zeroing)
-        poses_pre = jnp.stack(
-            [x_new[..., IX_X], x_new[..., IX_Y], yaw], axis=-1)
-        vertices = col_ops.get_vertices(
-            poses_pre, params.length, params.width)
-        collisions, collision_idx = col_ops.collision_multiple(vertices)
-
-        # --- 7: iTTC zeroing (hit flag computed in-kernel)
-        x_new = jnp.where(
-            ttc_hit[..., None] & (jnp.arange(7) >= 3)[None, :],
-            jnp.zeros_like(x_new),
-            x_new,
-        )
-        collisions = jnp.maximum(collisions,
-                                 ttc_hit.astype(collisions.dtype))
-
-        # --- 8: opponent ray-cast overlay (post-zeroing scan pose,
-        # pre-zeroing opponent boxes — base_classes.py:574,579-585)
-        A = cfg.num_agents
-        if A > 1:
-            poses_post = jnp.stack(
-                [x_new[..., IX_X], x_new[..., IX_Y], x_new[..., IX_YAW]],
-                axis=-1)
-            opp_idx = np.stack(
-                [np.delete(np.arange(A), i) for i in range(A)])
-            scans = overlay_opponents_vmappable(
-                scans, poses_post, vertices[opp_idx], tables,
-                cfg.num_beams, cfg.theta_dis, interpret=interp)
-
-        new_state = state.replace(
-            x=x_new,
-            steer_buf=steer_buf,
-            collisions=collisions,
-            collision_idx=collision_idx,
-            scans=scans,
-            steps=state.steps + 1,
-        )
-        obs = {
-            "ego_idx": jnp.asarray(cfg.ego_idx, dtype=jnp.int32),
-            "scans": scans,
-            "poses_x": x_new[..., IX_X],
-            "poses_y": x_new[..., IX_Y],
-            "poses_theta": x_new[..., IX_YAW],
-            "linear_vels_x": x_new[..., IX_VEL],
-            "linear_vels_y": jnp.zeros_like(x_new[..., IX_VEL]),
-            "ang_vels_z": x_new[..., 5],
-            "collisions": collisions,
-        }
-        return new_state, obs
-
+    # (A round-3 "fused extras" variant — noise + iTTC in the scan kernel's
+    # out phase, opponents in a second kernel — was measured a net LOSS on
+    # v5e and removed in round 5: the noise ARRAY operand re-added the HBM
+    # traffic the fusion saved, and XLA runs the whole noise+iTTC+opponent
+    # block faster than the overlay kernel once the closed-form windows and
+    # angle-addition trig landed in ops/collision.py. The overlay kernel
+    # survives in ops/pallas_scan.py as the tests' independent oracle for
+    # that XLA path.)
     if engine == "pallas":
         if map_data.seg_table is None:
             raise ValueError(

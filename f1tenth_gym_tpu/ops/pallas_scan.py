@@ -163,7 +163,7 @@ def build_seg_table(segments: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def _scan_kernel(R, theta_dis, num_beams, phases, fuse, has_extras,
+def _scan_kernel(R, theta_dis, num_beams, phases, has_extras,
                  bid_ref, ng_ref, orig_ref, nb_ref, segf_ref, *rest):
     """One program: EA scans of R*128 beams, each SUB-scan subgroup
     sweeping its own culled segment table.
@@ -188,8 +188,7 @@ def _scan_kernel(R, theta_dis, num_beams, phases, fuse, has_extras,
     mean swept groups/scan 13.8 -> ~10.3 on the bench workload).
     orig_ref (1,EA,16) f32 SMEM rows
     [ox, oy, ti0, angle_inc_bins, cos(ti0*binrad), sin(ti0*binrad),
-     max_range, vel (fused iTTC only), extras_start_groups,
-     extras_ngroups, 0 x 6];
+     max_range, 0, extras_start_groups, extras_ngroups, 0 x 6];
     nb_ref (RG*2*8, 128) f32 VMEM: the scan-independent beam-fan tables
     cos(n*beta) / sin(n*beta) for beam index n (beta = angle increment in
     radians), one cos + one sin (8,128) tile per rowgroup;
@@ -214,12 +213,7 @@ def _scan_kernel(R, theta_dis, num_beams, phases, fuse, has_extras,
 
     S = EA // SUB
     segt_refs = rest[:S]
-    if fuse:
-        # fused noise + iTTC epilogue (round 3): extra inputs and a second
-        # output ride along — see the fused out phase below
-        noise_ref, ttc_tab, out_ref, out2_ref, acc, dirb = rest[S:]
-    else:
-        out_ref, acc, dirb = rest[S:]
+    out_ref, acc, dirb = rest[S:]
 
     zero = jnp.float32(0.0)
     one = jnp.float32(1.0)
@@ -392,35 +386,13 @@ def _scan_kernel(R, theta_dis, num_beams, phases, fuse, has_extras,
     # rows of each chunk are assembled in registers and stored as ONE full
     # (8,128) tile — per-row (1,128) stores are partial-sublane writes,
     # which Mosaic lowers as read-modify-write.
+    # (A round-3 FUSED variant also added caller-supplied beam noise and
+    # reduced the reference's per-beam iTTC test here, saving the XLA
+    # noise-add + iTTC passes' ~105 MB of HBM round trips at 8192 scans —
+    # but its noise ARRAY operand re-added equivalent traffic and the
+    # variant measured a net loss in rounds 3 AND 4; removed in round 5.)
     eps = jnp.float32(1e-9)
     max_range = orig_ref[0, 0, 6]
-    if not fuse:
-        for c in range(EA * R // GROUP):
-            rows = [
-                jnp.max(acc[(c * GROUP + i) * GROUP:
-                            (c * GROUP + i + 1) * GROUP, :],
-                        axis=0, keepdims=True)
-                for i in range(GROUP)
-            ]
-            s = jnp.concatenate(rows, axis=0)
-            out_ref[c * GROUP:(c + 1) * GROUP, :] = jnp.minimum(
-                jnp.float32(1.0) / jnp.maximum(s, eps), max_range)
-        return
-
-    # FUSED out phase (round 3): the additive beam noise (an XLA input —
-    # generated outside so rng semantics stay bit-identical to the unfused
-    # path) lands on the clamped range right here, and the reference's
-    # per-beam iTTC test (laser_models.py:188-217: 0 <= (scan - side)/
-    # (vel*cos) < thresh, numpy div-by-zero semantics — IEEE inf/nan
-    # never satisfies the two compares) reduces each scan's beams to one
-    # 0/1 row of out2. This removes the separate XLA noise-add and iTTC
-    # passes and their ~105 MB of HBM round trips at 8192 scans.
-    # ttc_tab rows: [0, R) side_distances, [R] ttc threshold (whole row),
-    # [R+1, 2R+1) beam cosines; pad beam lanes carry side = 1e30 so they
-    # can never register a hit.
-    thresh_row = ttc_tab[R:R + 1, :]
-    hit_acc = {}
-    pend = []
     for c in range(EA * R // GROUP):
         rows = [
             jnp.max(acc[(c * GROUP + i) * GROUP:
@@ -429,26 +401,8 @@ def _scan_kernel(R, theta_dis, num_beams, phases, fuse, has_extras,
             for i in range(GROUP)
         ]
         s = jnp.concatenate(rows, axis=0)
-        rng8 = jnp.minimum(jnp.float32(1.0) / jnp.maximum(s, eps), max_range)
-        noisy = rng8 + noise_ref[c * GROUP:(c + 1) * GROUP, :]
-        out_ref[c * GROUP:(c + 1) * GROUP, :] = noisy
-        for i in range(GROUP):
-            ea, r = divmod(c * GROUP + i, R)
-            pv = orig_ref[0, ea, 7] * ttc_tab[R + 1 + r:R + 2 + r, :]
-            q = (noisy[i:i + 1, :] - ttc_tab[r:r + 1, :]) / pv
-            hit = jnp.where((q < thresh_row) & (q >= jnp.float32(0.0)),
-                            jnp.float32(1.0), jnp.float32(0.0))
-            prev = hit_acc.get(ea)
-            hit_acc[ea] = hit if prev is None else jnp.maximum(prev, hit)
-            if r == R - 1:
-                # scan ea complete: bank its reduced row; flush 8 at a
-                # time as one full (8,128) store (single-row stores are
-                # read-modify-write on Mosaic)
-                pend.append(hit_acc.pop(ea))
-                if len(pend) == GROUP:
-                    base = ea - (GROUP - 1)
-                    out2_ref[base:base + GROUP, :] = jnp.concatenate(pend, 0)
-                    pend = []
+        out_ref[c * GROUP:(c + 1) * GROUP, :] = jnp.minimum(
+            jnp.float32(1.0) / jnp.maximum(s, eps), max_range)
 
 
 def select_windows(tig, tjg, blockmap, tile_ngroups, tile_ext,
@@ -532,8 +486,7 @@ def scan_pallas(*args, **kwargs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_beams", "theta_dis", "interpret", "phases",
-                     "fuse"))
+    static_argnames=("num_beams", "theta_dis", "interpret", "phases"))
 def _scan_pallas(
     pose: jnp.ndarray,            # (..., 3)
     seg_table: jnp.ndarray,       # (K, 8) from build_seg_table
@@ -547,9 +500,6 @@ def _scan_pallas(
     tile_meta: jnp.ndarray = None,     # (6,) [x0, y0, 1/ts, nx, ny, spread]
     tile_blockmap: jnp.ndarray = None,  # (4*n_tiles,) i32 window -> block
     tile_ext: jnp.ndarray = None,      # (n_blocks, 64) i32 extras ranges
-    fuse: bool = False,                # fused noise + iTTC epilogue
-    noise: jnp.ndarray = None,         # (..., num_beams) additive noise
-    vel: jnp.ndarray = None,           # (...,) longitudinal velocity
     elig_raster: jnp.ndarray = None,   # (H, W) uint8 eligibility raster
     elig_meta: jnp.ndarray = None,     # (3,) [orig_x, orig_y, resolution]
 ) -> jnp.ndarray:
@@ -558,14 +508,6 @@ def _scan_pallas(
     Drop-in replacement for ops.segments.get_scan_segments. Any batch shape;
     the batch is flattened, padded to a multiple of EA, and fed to the grid.
     Set interpret=True on CPU (tests).
-
-    With fuse=True the kernel also adds the provided per-beam noise to the
-    clamped ranges IN-KERNEL and reduces the reference's iTTC test
-    (laser_models.py:188-217) over the beams of each scan; the return
-    value becomes ``(scans, ttc_hit)`` with ttc_hit (...,) bool already
-    guarded by ``vel != 0``. The noise array is generated by the CALLER
-    (same rng fold as the unfused path) so fused and unfused paths are
-    bit-identical on the scan values.
 
     With the merged multi-window tables built by
     ops.culling.build_tile_tables (format v9: deduped 2x2 / 1x1 / 4x4 /
@@ -607,13 +549,6 @@ def _scan_pallas(
     alpha = ti0 * bin_to_rad
     zeros = jnp.zeros_like(ti0)
     maxr = jnp.full_like(ti0, tables.max_range.astype(jnp.float32))
-    if fuse:
-        vflat = vel.reshape(-1).astype(jnp.float32)
-        vflat = jnp.concatenate(
-            [vflat, jnp.zeros((n_pad - n,), jnp.float32)])
-        slot7 = vflat
-    else:
-        slot7 = zeros
 
     # scan-independent beam-fan tables cos(n*beta)/sin(n*beta), one cos +
     # one sin (8,128) tile per rowgroup (n = beam index)
@@ -680,16 +615,13 @@ def _scan_pallas(
 
     scalars = jnp.stack(
         [p[:, 0], p[:, 1], ti0, inc, jnp.cos(alpha), jnp.sin(alpha),
-         maxr, slot7, est, ecnt, zeros, zeros, zeros, zeros, zeros, zeros],
+         maxr, zeros, est, ecnt, zeros, zeros, zeros, zeros, zeros, zeros],
         axis=-1)  # (n_pad, 16)
 
     Kt = tabs.shape[1]
     assert EA % SUB == 0, f"EA={EA} must be a multiple of SUB={SUB}"
-    if fuse:
-        assert phases == "dirs,sweep,out", "fuse needs the full kernel"
-        assert EA % GROUP == 0, "fused out2 flush needs EA % 8 == 0"
     kern = functools.partial(_scan_kernel, R, theta_dis, num_beams,
-                             tuple(phases.split(",")), fuse, has_extras)
+                             tuple(phases.split(",")), has_extras)
 
     # one BlockSpec per SUB-scan subgroup, all slicing the SAME merged
     # window array: subgroup s of program g DMAs block bid[g*S+s]-1
@@ -706,37 +638,8 @@ def _scan_pallas(
         pl.BlockSpec((1, Kf, 8), lambda g, b, m: (0, 0, 0)),
     ] + sub_specs
     operands = [scalars.reshape(n_prog, EA, 16), nb, full] + [tabs] * S
-    if fuse:
-        # noise rows aligned with the out layout (one (EA*R, 128) block
-        # per program) + the per-beam iTTC constant rows (resident)
-        nz = noise.reshape(-1, num_beams).astype(jnp.float32)
-        nz = jnp.pad(nz, ((0, n_pad - n), (0, R * LANES - num_beams)))
-        operands.append(nz.reshape(n_pad * R, LANES))
-        in_specs.append(
-            pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0)))
-        side = jnp.pad(tables.side_distances.astype(jnp.float32),
-                       (0, R * LANES - num_beams),
-                       constant_values=jnp.float32(1e30)).reshape(R, LANES)
-        cosb = jnp.pad(tables.beam_cosines.astype(jnp.float32),
-                       (0, R * LANES - num_beams),
-                       constant_values=jnp.float32(1.0)).reshape(R, LANES)
-        thr = jnp.full((1, LANES), tables.ttc_thresh, jnp.float32)
-        ttc_tab = jnp.concatenate([side, thr, cosb], axis=0)
-        H = ((2 * R + 1 + GROUP - 1) // GROUP) * GROUP
-        ttc_tab = jnp.pad(ttc_tab, ((0, H - 2 * R - 1), (0, 0)))
-        operands.append(ttc_tab)
-        in_specs.append(pl.BlockSpec((H, LANES), lambda g, b, m: (0, 0)))
-        out_specs = [
-            pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0)),
-            pl.BlockSpec((EA, LANES), lambda g, b, m: (g, 0)),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
-        ]
-    else:
-        out_specs = pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0))
-        out_shape = jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32)
+    out_specs = pl.BlockSpec((EA * R, LANES), lambda g, b, m: (g, 0))
+    out_shape = jax.ShapeDtypeStruct((n_pad * R, LANES), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -758,14 +661,8 @@ def _scan_pallas(
     )(bid, ng, *operands)
 
     # the kernel's out phase already emitted final clamped ranges
-    out = res[0] if fuse else res
-    out = out.reshape(n_pad, R * LANES)[:n, :num_beams]
-    out = out.reshape(*batch_shape, num_beams).astype(pose.dtype)
-    if not fuse:
-        return out
-    hit = res[1][:n].max(axis=-1) > jnp.float32(0.5)
-    hit = hit & (vel.reshape(-1) != 0)
-    return out, hit.reshape(batch_shape)
+    out = res.reshape(n_pad, R * LANES)[:n, :num_beams]
+    return out.reshape(*batch_shape, num_beams).astype(pose.dtype)
 
 
 def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
@@ -796,36 +693,15 @@ def scan_pallas_vmappable(pose, seg_table, tables, num_beams, theta_dis,
     return fn(pose)
 
 
-def scan_pallas_fused_vmappable(pose, noise, vel, seg_table, tables,
-                                num_beams, theta_dis, interpret=False,
-                                tile_tables=None, tile_ngroups=None,
-                                tile_meta=None, tile_blockmap=None,
-                                tile_ext=None, elig_raster=None,
-                                elig_meta=None):
-    """Fused (scan + noise + iTTC) scan_pallas under jax.vmap.
-
-    Same batch-collapsing custom_vmap trick as scan_pallas_vmappable;
-    returns ``(scans, ttc_hit)``.
-    """
-
-    @jax.custom_batching.custom_vmap
-    def fn(p, nz, v):
-        return scan_pallas(p, seg_table, tables, num_beams, theta_dis,
-                           interpret=interpret, tile_tables=tile_tables,
-                           tile_ngroups=tile_ngroups, tile_meta=tile_meta,
-                           tile_blockmap=tile_blockmap, tile_ext=tile_ext,
-                           fuse=True, noise=nz, vel=v,
-                           elig_raster=elig_raster, elig_meta=elig_meta)
-
-    @fn.def_vmap
-    def _rule(axis_size, in_batched, p, nz, v):  # noqa: ANN001
-        return fn(p, nz, v), (True, True)
-
-    return fn(pose, noise, vel)
-
-
 # --------------------------------------------------------------------------
-# Opponent ray-cast overlay kernel (round 3)
+# Opponent ray-cast overlay kernel (round 3; kept as a TEST ORACLE)
+#
+# Not on the production path: the XLA opponent pass in ops/collision.py
+# (closed-form windows + angle-addition trig, round 5) measured faster than
+# dispatching this kernel (0.71 vs ~3 ms at 8192 scans — the per-(scan,
+# group) dynamic fori costs ~350 cycles of pipeline disruption each). It
+# remains as the independent implementation the tests fuzz the XLA path
+# against (test_overlay_kernel_fuzz_vs_xla, the collinear-divergence pin).
 # --------------------------------------------------------------------------
 
 EAO = 128   # scans per overlay program (its per-program work is tiny)

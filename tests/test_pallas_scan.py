@@ -108,52 +108,6 @@ def test_engine_in_env_step(ring):
     assert scans.min() < 1.6
 
 
-def test_fused_extras_match_unfused(ring):
-    """The fused noise+iTTC+opponent path must match the unfused XLA path.
-
-    Scan values are bit-identical on wall-only beams (same noise array,
-    same kernel ranges) and agree to f32 round-off on opponent-clipped
-    beams (the overlay kernel's inverse-range form vs the XLA
-    perpendicular form of the same intersection). Collision flags and
-    post-zeroing state must be identical.
-    """
-    from f1tenth_gym_tpu.core.env import env_reset, env_step
-    from f1tenth_gym_tpu.state import VehicleParams
-
-    m, tables = ring
-    base = dict(num_agents=3, num_beams=NB, dtype="float32",
-                scan_engine="pallas")
-    cfg_f = SimConfig(**base, fuse_extras=True)
-    cfg_u = SimConfig(**base, fuse_extras=False)
-    params = VehicleParams.create(dtype=jnp.float32)
-    # two agents close behind each other (opponent overlay active) + one
-    # heading for the wall (iTTC path active)
-    poses = jnp.asarray([[4.0, 0.0, np.pi / 2], [4.0, 0.9, np.pi / 2],
-                         [4.3, -1.0, 0.0]], jnp.float32)
-    sF, oF, *_ = env_reset(poses, jax.random.PRNGKey(3), params, m,
-                           tables, cfg_f, 0.01)
-    sU, oU, *_ = env_reset(poses, jax.random.PRNGKey(3), params, m,
-                           tables, cfg_u, 0.01)
-    actions = jnp.asarray([[0.0, 5.0]] * 3, jnp.float32)
-    hit = False
-    for i in range(200):
-        sF, oF, rF, dF, _ = env_step(sF, actions, params, m, tables,
-                                     cfg_f, 0.01)
-        sU, oU, rU, dU, _ = env_step(sU, actions, params, m, tables,
-                                     cfg_u, 0.01)
-        np.testing.assert_allclose(np.asarray(oF["scans"]),
-                                   np.asarray(oU["scans"]),
-                                   rtol=0, atol=1e-4)
-        np.testing.assert_array_equal(np.asarray(sF.collisions),
-                                      np.asarray(sU.collisions))
-        np.testing.assert_allclose(np.asarray(sF.x), np.asarray(sU.x),
-                                   rtol=0, atol=1e-6)
-        if bool(np.asarray(dU).any()):
-            hit = True
-            break
-    assert hit, "rollout never hit a wall — iTTC path untested"
-
-
 def test_overlay_kernel_fuzz_vs_xla(ring):
     """overlay_opponents_pallas vs ops.collision.ray_cast_opponents.
 
@@ -223,12 +177,16 @@ def test_overlay_collinear_fallback_divergence(ring):
     pose = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
     scan = jnp.full((NB,), 25.0, jnp.float32)
 
-    # --- 1+2: point opponent 1.2 m dead ahead (every edge zero-length:
-    # denom == 0 exactly, o/va/vb collinear -> reference fallback distance
-    # |va - o| = 1.2 on the beam nearest angle 0)
-    pt = jnp.tile(jnp.asarray([[1.2, 0.0]], jnp.float32), (4, 1))[None]
+    # --- 1+2: point opponent 1.2 m away along beam 130's exact center
+    # angle (an unambiguous nearest beam — angle 0 with an even beam count
+    # is a half-bin TIE, where argmin-vs-closed-form tie-breaks differ in
+    # f32); every edge zero-length: denom == 0 exactly, o/va/vb collinear
+    # -> reference fallback distance |va - o| = 1.2 on that beam
+    beam0 = 130
+    phi = float(np.asarray(tables.scan_angles)[beam0])
+    pt = jnp.tile(jnp.asarray(
+        [[1.2 * np.cos(phi), 1.2 * np.sin(phi)]], jnp.float32), (4, 1))[None]
     ref = ray_cast_opponents(pose, scan, pt, tables)
-    beam0 = int(np.argmin(np.abs(np.asarray(tables.scan_angles))))
     assert np.asarray(ref)[beam0] == pytest.approx(1.2, abs=1e-6)
     changed = np.flatnonzero(np.asarray(ref) != 25.0)
     np.testing.assert_array_equal(changed, [beam0])

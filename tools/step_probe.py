@@ -1,10 +1,9 @@
 """On-hardware cost breakdown of the full env step vs its kernels.
 
 Times, on the bench workload (4096 envs x 2 agents, 1080 beams, sorted):
-  scan-only  — scan_pallas unfused
-  scan-fused — scan_pallas fused (noise + iTTC)
+  scan-only  — scan_pallas
   overlay    — the opponent ray-cast kernel alone
-  step-fused / step-unfused — the full autoreset step both ways
+  step — the full autoreset step
 
 Env knobs: F1TENTH_PALLAS_EA / _SUB (set before import), BENCH_CULL_TS,
 PROBE_ENVS, PROBE_WHAT (comma list to restrict).
@@ -26,7 +25,6 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".jax_cache"))
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
@@ -59,7 +57,7 @@ def main():
     num_beams = 1080
     ts = float(os.environ.get("BENCH_CULL_TS", 1.25))
     what = set(filter(None, os.environ.get(
-        "PROBE_WHAT", "scan,fused,overlay,step,step_unfused").split(",")))
+        "PROBE_WHAT", "scan,overlay,step").split(",")))
 
     cfg = SimConfig(num_agents=2, num_beams=num_beams, dtype="float32",
                     scan_engine="pallas")
@@ -91,20 +89,6 @@ def main():
                                tile_ext=md.tile_ext, **_elig_kwargs(md))
         res["scan_ms"] = timeit(f_scan, p)
 
-    if "fused" in what:
-        nz = jnp.zeros((n, num_beams), jnp.float32)
-        vel = jnp.full((n,), 3.0, jnp.float32)
-
-        def f_fused(pp, nz, vel):
-            return scan_pallas(pp, md.seg_table, tables, num_beams,
-                               cfg.theta_dis, tile_tables=md.tile_tables,
-                               tile_ngroups=md.tile_ngroups,
-                               tile_meta=md.tile_meta,
-                               tile_blockmap=md.tile_blockmap,
-                               tile_ext=md.tile_ext, fuse=True,
-                               noise=nz, vel=vel, **_elig_kwargs(md))
-        res["fused_ms"] = timeit(f_fused, p, nz, vel)
-
     if "overlay" in what:
         sc = jnp.full((num_envs, 2, num_beams), 10.0, jnp.float32)
         pp2 = p.reshape(num_envs, 2, 3)
@@ -118,10 +102,10 @@ def main():
                 opp.reshape(-1, 1, 4, 2), tables, num_beams, cfg.theta_dis)
         res["overlay_ms"] = timeit(f_ov, sc, pp2, opp)
 
-    for name, fuse in (("step", True), ("step_unfused", False)):
+    for name in ("step",):
         if name not in what:
             continue
-        c = dataclasses.replace(cfg, fuse_extras=fuse)
+        c = cfg
         keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
         states, *_ = batch_reset(jnp.asarray(poses), keys, params, md,
                                  tables, c, 0.01)

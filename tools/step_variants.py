@@ -3,13 +3,11 @@
 Measures, on the bench workload (4096 envs x 2 agents x 1080 beams,
 example map, locality-sorted racing poses):
 
-  step/unfused-arg    full autoreset step, fuse_extras=False, map as jit arg
+  step/unfused-arg    full autoreset step, map as jit arg
   step/unfused-const  same, map embedded as jit constants
-  step/fused-arg      full autoreset step, fuse_extras=True, map as jit arg
   kern/scan-unfused   scan_pallas alone at 8192 scans
-  kern/scan-fused     scan_pallas(fuse=True) alone (noise + iTTC epilogue)
   kern/overlay        overlay_opponents_pallas alone at 8192 scans, O=1
-  xla/extras          the unfused XLA noise+iTTC+opponent block alone
+  xla/extras          the XLA noise+iTTC+opponent block alone
 
 Used to bisect the round-3 fused-extras regression (BENCH_r02 524k ->
 BENCH_r03 413k). Usage: python tools/step_variants.py [keys...]
@@ -65,8 +63,8 @@ def timeit(fn, *args):
 
 def main():
     keys = sys.argv[1:] or ["step/unfused-arg", "step/unfused-const",
-                            "step/fused-arg", "kern/scan-unfused",
-                            "kern/scan-fused", "kern/overlay", "xla/extras"]
+                            "kern/scan-unfused", "kern/overlay",
+                            "xla/extras"]
     os.environ.setdefault(
         "F1TENTH_TPU_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
@@ -84,9 +82,9 @@ def main():
     sort_kw = dict(tile_size=1.0 / float(tm[2]), origin=(float(tm[0]),
                                                          float(tm[1])))
 
-    def build_step(fuse, const):
+    def build_step(const):
         cfg = SimConfig(num_agents=2, num_beams=B, dtype="float32",
-                        scan_engine="pallas", fuse_extras=fuse)
+                        scan_engine="pallas")
         states, *_ = batch_reset(poses, ks, params, md, tables, cfg, 0.01)
         states = sort_envs_for_locality(states, **sort_kw)
         astep = make_autoreset_step(params, md, tables, cfg, 0.01,
@@ -111,13 +109,10 @@ def main():
 
     for k in keys:
         if k == "step/unfused-arg":
-            f, s = build_step(False, False)
+            f, s = build_step(False)
             dt = timeit(f, s)
         elif k == "step/unfused-const":
-            f, s = build_step(False, True)
-            dt = timeit(f, s)
-        elif k == "step/fused-arg":
-            f, s = build_step(True, False)
+            f, s = build_step(True)
             dt = timeit(f, s)
         elif k == "kern/scan-unfused":
             from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas
@@ -128,18 +123,6 @@ def main():
                 tile_blockmap=md.tile_blockmap,
                 tile_ext=md.tile_ext, **_elig_kwargs(md)))
             dt = timeit(f, key_flat)
-        elif k == "kern/scan-fused":
-            from f1tenth_gym_tpu.ops.pallas_scan import scan_pallas
-            nz = jnp.zeros((key_flat.shape[0], B), jnp.float32)
-            vel = jnp.full((key_flat.shape[0],), 2.0, jnp.float32)
-            f = jax.jit(lambda p, n, v: scan_pallas(
-                p, md.seg_table, tables, B, 2000,
-                tile_tables=md.tile_tables, tile_ngroups=md.tile_ngroups,
-                tile_meta=md.tile_meta,
-                tile_blockmap=md.tile_blockmap,
-                tile_ext=md.tile_ext, fuse=True, noise=n, vel=v,
-                **_elig_kwargs(md)))
-            dt = timeit(f, key_flat, nz, vel)
         elif k == "kern/overlay":
             from f1tenth_gym_tpu.ops import collision as col_ops
             from f1tenth_gym_tpu.ops.pallas_scan import (
@@ -179,7 +162,7 @@ def main():
             # amortize per-dispatch overhead: 16 steps per jit call via
             # lax.scan (the bench's python loop dispatches one step/call)
             cfg = SimConfig(num_agents=2, num_beams=B, dtype="float32",
-                            scan_engine="pallas", fuse_extras=False)
+                            scan_engine="pallas")
             states, *_ = batch_reset(poses, ks, params, md, tables, cfg,
                                      0.01)
             states = sort_envs_for_locality(states, **sort_kw)
