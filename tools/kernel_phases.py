@@ -44,7 +44,9 @@ from f1tenth_gym_tpu.parallel.vector import tile_snake_key
 def main():
     n_scans = int(os.environ.get("PHASE_SCANS", 8192))
     num_beams = int(os.environ.get("BENCH_BEAMS", 1080))
-    ts = float(os.environ.get("BENCH_CULL_TS", 2.5))
+    # default matches bench.py's culling grid (1.25 m) so the phase table
+    # describes the shipped configuration
+    ts = float(os.environ.get("BENCH_CULL_TS", 1.25))
     reps = int(os.environ.get("PHASE_REPS", 30))
 
     cfg = SimConfig(num_agents=2, num_beams=num_beams, dtype="float32")
