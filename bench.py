@@ -309,11 +309,11 @@ def main():
         return jnp.stack([steer, speed], axis=-1)
 
     # one jitted program: autoreset step + policy fused; one dispatch per
-    # step (BENCH_CHUNK>1 wraps chunks of steps in a lax.scan instead —
-    # measured a WASH end to end on v5e: 592-598k at chunk 16/4 vs 611k
-    # at 1, within the tunnel's run-to-run variance; an earlier +0.35
-    # ms/step "dispatch win" in tools/step_variants.py was an artifact of
-    # re-timing a pristine pre-sorted state). The map is CLOSED OVER
+    # step (BENCH_CHUNK wraps chunks of steps in a lax.scan — a WASH in
+    # round 4 when the step was ~8 ms, but at the round-5 ~5.8 ms step the
+    # per-dispatch overhead matters: chunk 16 measured 730k vs 703-708k at
+    # chunk 1, so 16 is the default; the periodic locality re-sort runs
+    # between chunks either way). The map is CLOSED OVER
     # (embedded as jit constants) — 1.1 ms/step faster than passing it as
     # a jit argument (argument-mode tables defeat XLA's constant hoisting
     # around the kernel operands); argument mode (astep.impl with the map
@@ -359,7 +359,7 @@ def main():
         sort_kw = dict(tile_size=1.0 / float(tm[2]),
                        origin=(float(tm[0]), float(tm[1])))
     sort_period = int(os.environ.get("BENCH_SORT_PERIOD", 16))
-    chunk_steps = int(os.environ.get("BENCH_CHUNK", 1))
+    chunk_steps = int(os.environ.get("BENCH_CHUNK", 16))
     assert sort_period % chunk_steps == 0 and num_steps % sort_period == 0
     fused_chunk = make_fused_chunk(astep, chunk_steps)
 
