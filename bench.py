@@ -22,11 +22,12 @@ import sys
 import time
 
 # tuned headline defaults (override with the env vars): with round-5
-# erosion-fused culling the sweep shrank (mean swept groups 13.8 -> 7.9)
+# erosion-fused culling the sweep shrank (mean swept groups 13.8 -> 7.86)
 # and per-program fixed costs dominate, so scans/program moved back UP —
-# 32 measured best (kernel 5.37 ms vs 6.41 at EA=8, tools/kernel_phases).
-# Window tightness is unaffected: selection is per-8-scan SUBGROUP either
-# way. The 1.25 m culling grid beat 1.7/2.0/2.5 in the round-3 sweep.
+# 32 measured best (3.81 ms vs 3.93 at EA=64, 6.41 at EA=8;
+# tools/kernel_sweep.py). Window tightness is unaffected: selection is
+# per-8-scan SUBGROUP either way. The 1.25 m culling grid re-confirmed
+# post-erosion (7.86 groups/scan vs 7.90-8.14 at 0.6-1.75 m).
 # Must be set before the package import reads it.
 os.environ.setdefault("F1TENTH_PALLAS_EA", "32")
 

@@ -8,9 +8,11 @@ hand-scheduled Mosaic kernel.
 
 Kernel design (each choice measured on TPU v5e):
 
-* one grid program computes EA=16 (env,agent) scans: per-program fixed costs
-  (block DMA issue, accumulator setup) dominated at 1 scan/program
-  (~17 us); EA=32 measured slower than EA=16;
+* one grid program computes EA=32 (env,agent) scans: per-program fixed
+  costs (block DMA issue, accumulator setup) dominated at 1 scan/program
+  (~17 us); EA tracked the sweep size across rounds (16 best pre-erosion,
+  32 best once round-5 erosion culling shrank the sweep; 64 re-measured
+  slower — VMEM pressure and unroll bloat beat the halved program count);
 * beams live in LANES (R rows x 128), segments in SUBLANES (groups of 8):
   every op is a full (8, 128) vreg. The transposed orientation puts
   (K,1)->(K,128) lane-broadcasts on the critical path, which Mosaic lowers
@@ -87,11 +89,11 @@ windowed subgroup-union design stands on all sides of the triangle
 
 Measured cost structure at K=218 (v5e, 8192 scans): group loop ~300 us per
 8-segment group, already at ~3.9/4 VPU issue slots per cycle — the loop is
-ISSUE-BOUND, not schedulable faster at this op count; fixed ~2.5 ms
-per call scales with total scans (beam-direction trig + the out-phase
-sublane reductions), is independent of program count (EA=32 re-measured:
-same fixed cost, 47% worse loop), and is the next target if the north
-star demands it.
+ISSUE-BOUND, not schedulable faster at this op count. Round-5 operating
+point with the erosion-culled pack (mean 7.86 swept groups/scan at
+ts=1.25): 3.8 ms total at 8192 scans — ~2.2 ms sweep + ~1 ms of
+dirs/fixed per-program costs + out phase (tools/kernel_sweep.py,
+docs/performance.md).
 """
 
 from __future__ import annotations
